@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction pipeline on the sf0.001
+test data; ``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (plus the training-data-pipeline extensions); ``oracle_sql()``
+gives the DuckDB-equivalent ANSI SQL for each SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -12,27 +11,220 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+NULL_SENTINELS_SQL = "('none','null','','-')"
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Transcript derivation shared by Spark and the DuckDB oracle: the `events`
+# table becomes multi-turn conversations (user_id → conv, row_number → turn).
+# Pure function of the input, identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledgegraphs_spark.sources.transcripts import ingest
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        F.col("turn_idx") % 3 + 1,
+    )
+    turns = (
+        ev.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+        .select(
+            F.col("user_id").cast("string").alias("conv_id"),
+            "turn_idx",
+            role.alias("role"),
+            F.col("props").alias("text"),
+            F.when(role == "tool", F.col("event_type")).otherwise(F.lit(None).cast("string")).alias("tool"),
+            "ts",
+        )
+    )
+    return ingest(turns)
+
+
+_TURNS_SQL = f"""
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         list_extract(['user','assistant','tool'],
+                      cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) % 3 + 1) AS role_raw,
+         props AS text_raw, event_type, ts
+  FROM events
+""".strip()
+
+_TURNS_NORM_SQL = f"""
+WITH raw_turns AS ({_TURNS_SQL}),
+turns AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role_raw IS NULL OR lower(trim(role_raw)) IN {NULL_SENTINELS_SQL} THEN NULL ELSE role_raw END AS role,
+         CASE WHEN text_raw IS NULL OR lower(trim(text_raw)) IN {NULL_SENTINELS_SQL} THEN NULL ELSE text_raw END AS text,
+         CASE WHEN role_raw = 'tool' THEN
+           (CASE WHEN event_type IS NULL OR lower(trim(event_type)) IN {NULL_SENTINELS_SQL} THEN NULL ELSE event_type END)
+         ELSE NULL END AS tool,
+         ts
+  FROM raw_turns
+)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_kg_triples_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship G7: deterministic row-to-triple materialization."""
+    from knowledgegraphs_spark.operators.po_extraction import transcript_po
+    from knowledgegraphs_spark.operators.triples import emit_transcript_triples
+
+    turns = _turns_from_events(spark, sf_dir)
+    return emit_transcript_triples(turns, transcript_po()).select(
+        "subj", "pred", "obj", "obj_dtype", "is_literal"
+    )
+
+
+_KG_TRIPLES_SQL = f"""
+{_TURNS_NORM_SQL},
+convs AS (SELECT DISTINCT conv_id FROM turns),
+attr AS (
+  SELECT conv_id, turn_idx, 'role' AS col, role AS val, 'xsd:string' AS dtype FROM turns
+  UNION ALL SELECT conv_id, turn_idx, 'text', text, 'xsd:string' FROM turns
+  UNION ALL SELECT conv_id, turn_idx, 'tool', tool, 'xsd:string' FROM turns
+  UNION ALL SELECT conv_id, turn_idx, 'ts', strftime(ts, '%Y-%m-%dT%H:%M:%S'), 'xsd:dateTime' FROM turns
+)
+SELECT 'kg:Conversation_1_' || conv_id AS subj, 'rdf:type' AS pred, 'kg:Conversation' AS obj,
+       cast(NULL AS varchar) AS obj_dtype, false AS is_literal FROM convs
+UNION ALL
+SELECT 'kg:Turn_2_' || conv_id || '_' || turn_idx, 'rdf:type', 'kg:Turn', NULL, false FROM turns
+UNION ALL
+SELECT 'kg:Turn_2_' || conv_id || '_' || turn_idx, 'p_Turn_Conversation', 'kg:Conversation_1_' || conv_id, NULL, false FROM turns
+UNION ALL
+SELECT 'kg:Conversation_1_' || conv_id, 'p_Conversation_Turn', 'kg:Turn_2_' || conv_id || '_' || turn_idx, NULL, false FROM turns
+UNION ALL
+SELECT 'kg:Turn_2_' || conv_id || '_' || turn_idx, 'has_' || col, 'kg:' || col || '_ATTR_2_' || conv_id || '_' || turn_idx, NULL, false
+  FROM attr WHERE val IS NOT NULL
+UNION ALL
+SELECT 'kg:' || col || '_ATTR_2_' || conv_id || '_' || turn_idx, 'rdf:type', 'kg:' || col || '_ATTR', NULL, false
+  FROM attr WHERE val IS NOT NULL
+UNION ALL
+SELECT 'kg:' || col || '_ATTR_2_' || conv_id || '_' || turn_idx, 'has_' || col || '_VALUE', val, dtype, true
+  FROM attr WHERE val IS NOT NULL
+""".strip()
+
+
+def q_null_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator F1: sentinel→NULL normalization over the documents table."""
+    from knowledgegraphs_spark.functions.nulls import normalize_null
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        normalize_null(F.col("text")).alias("text_norm"),
+        normalize_null(F.col("lang")).alias("lang_norm"),
+    )
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators A3/A4 analog: grouped aggregation with partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operators W1/O5: rank + top-k per group."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "rk")
+    )
+
+
+def q_fk_join_customer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator J1: FK equi-join, dim side broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+def q_anti_join_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator J2: set-containment via anti-join (customers with no orders)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "kg_triples_structural": q_kg_triples_structural,
+        "f1_null_normalize": q_null_normalize,
+        "a3_agg_pricing_summary": q_agg_pricing_summary,
+        "w1_topk_orders_per_customer": q_topk_orders_per_customer,
+        "j1_fk_join_customer_nation": q_fk_join_customer_nation,
+        "j2_anti_join_containment": q_anti_join_containment,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples_structural": _KG_TRIPLES_SQL,
+        "f1_null_normalize": f"""
+            SELECT doc_id,
+                   CASE WHEN text IS NULL OR lower(trim(text)) IN {NULL_SENTINELS_SQL} THEN NULL ELSE text END AS text_norm,
+                   CASE WHEN lang IS NULL OR lower(trim(lang)) IN {NULL_SENTINELS_SQL} THEN NULL ELSE lang END AS lang_norm
+            FROM documents
+        """,
+        "a3_agg_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "w1_topk_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, rk FROM (
+              SELECT o_custkey, o_orderkey,
+                     cast(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS int) AS rk
+              FROM orders
+            ) WHERE rk <= 3
+        """,
+        "j1_fk_join_customer_nation": """
+            SELECT n_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "j2_anti_join_containment": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        """,
+    }
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: KG construction over transcripts derived from sf0.001."""
+    return q_kg_triples_structural(spark, SF_DEFAULT)

@@ -1,0 +1,151 @@
+"""Triple materialization (operator G7 + the URI scheme of SURVEY §1.3).
+
+Reference stage E walks every row of every table with mutable counters
+(``InsertDataRDB.java:70-102,197-251``). Here each (table, column) path is a
+pure column-projection template and the triples table is a ``unionByName`` of
+those projections — no state, no Python, one shuffle-free pass per source
+table (the FK edge emission is the only join, and the dim side is broadcast
+when small).
+
+URI scheme (reference ``InsertDataRDB.java:116-132``):
+    indiv = <prefix><Class>_<tableId>_<pk values joined by '_'>
+Pure function of (class, tableId, PK) → output reproducible under any
+partitioning; replaces the reference's insertion-order counters. (We join PK
+parts with '_' instead of bare concat for injectivity on composite keys.)
+
+Output schema: triples(subj, pred, obj, obj_dtype, is_literal) — the engine's
+fundamental table, written partitioned by ``pmod(xxhash64(subj), N)``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..config import BASE_PREFIX, RDF_TYPE
+from ..functions import naming
+from .po_extraction import PutativeOntology, TableSpec
+
+TRIPLE_COLS = ["subj", "pred", "obj", "obj_dtype", "is_literal"]
+
+
+def indiv_uri(class_name: str, table_id: int, pk_cols: list[str]) -> Column:
+    """Deterministic individual URI from PK column values."""
+    parts = [F.lit(f"{BASE_PREFIX}{class_name}_{table_id}")] + [
+        F.col(c).cast("string") for c in pk_cols
+    ]
+    return F.concat_ws("_", *parts)
+
+
+def class_uri(class_name: str) -> Column:
+    return F.lit(f"{BASE_PREFIX}{class_name}")
+
+
+def _triple(subj: Column, pred: Column | str, obj: Column, dtype: str | None, literal: bool):
+    p = F.lit(pred) if isinstance(pred, str) else pred
+    return [
+        subj.alias("subj"),
+        p.alias("pred"),
+        obj.alias("obj"),
+        F.lit(dtype).cast("string").alias("obj_dtype"),
+        F.lit(literal).alias("is_literal"),
+    ]
+
+
+def literal_repr(c: Column, dtype: str) -> Column:
+    """Canonical literal string per declared range (reference casts values to
+    the property's range, ``InsertDataBase.java:209-214``)."""
+    if dtype == "xsd:dateTime":
+        return F.date_format(c.cast("timestamp"), "yyyy-MM-dd'T'HH:mm:ss")
+    if dtype == "xsd:date":
+        return F.date_format(c.cast("date"), "yyyy-MM-dd")
+    if dtype in ("xsd:integer", "xsd:long"):
+        return c.cast("long").cast("string")
+    if dtype in ("xsd:double", "xsd:decimal"):
+        return c.cast("double").cast("string")
+    if dtype == "xsd:boolean":
+        return c.cast("boolean").cast("string")
+    return c.cast("string")
+
+
+def emit_table_triples(
+    df: DataFrame,
+    spec: TableSpec,
+    po: PutativeOntology,
+    ref_dfs: dict[str, DataFrame] | None = None,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """All triples for one table: rdf:type, FK edges (J1, both directions),
+    and the per-attribute 3-hop paths."""
+    ref_dfs = ref_dfs or {}
+    subj = indiv_uri(spec.class_name, spec.table_id, spec.pks)
+    pieces: list[DataFrame] = [df.select(*_triple(subj, RDF_TYPE, class_uri(spec.class_name), None, False))]
+
+    # FK equi-joins → object-property edges both directions (operator J1).
+    for fk in spec.fks:
+        ref_spec = po.tables[fk.ref_table]
+        ref_df = ref_dfs.get(fk.ref_table)
+        if ref_df is not None:
+            dim = ref_df.select(F.col(fk.ref_column).alias("__ref_key"), *[
+                F.col(c).alias(f"__ref_{c}") for c in ref_spec.pks
+            ]).dropDuplicates(["__ref_key"])
+            if broadcast_dims:
+                dim = F.broadcast(dim)
+            joined = df.join(dim, df[fk.column] == dim["__ref_key"], "inner")
+            tgt = indiv_uri(ref_spec.class_name, ref_spec.table_id, [])
+            tgt = F.concat_ws("_", tgt, *[F.col(f"__ref_{c}").cast("string") for c in ref_spec.pks])
+        else:
+            # FK value IS the referenced PK (transcripts: conv_id) — no join needed.
+            joined = df.filter(F.col(fk.column).isNotNull())
+            tgt = F.concat_ws(
+                "_",
+                F.lit(f"{BASE_PREFIX}{ref_spec.class_name}_{ref_spec.table_id}"),
+                F.col(fk.column).cast("string"),
+            )
+        fwd = naming.pure_obj_property(spec.class_name, ref_spec.class_name)
+        inv = naming.inverse_property(fwd)
+        src = indiv_uri(spec.class_name, spec.table_id, spec.pks)
+        pieces.append(joined.select(*_triple(src, fwd, tgt, None, False)))
+        pieces.append(joined.select(*_triple(tgt, inv, src, None, False)))
+
+    # attribute paths: row --has_c--> attr_indiv --has_c_VALUE--> literal
+    for path in (p for p in po.column_paths if p.table == spec.name):
+        nonnull = df.filter(F.col(path.column).isNotNull())
+        attr_indiv = F.concat_ws(
+            "_",
+            F.lit(f"{BASE_PREFIX}{path.attr_class}_{spec.table_id}"),
+            *[F.col(c).cast("string") for c in spec.pks],
+        )
+        pieces.append(nonnull.select(*_triple(subj, path.obj_prop, attr_indiv, None, False)))
+        pieces.append(nonnull.select(*_triple(attr_indiv, RDF_TYPE, class_uri(path.attr_class), None, False)))
+        pieces.append(
+            nonnull.select(
+                *_triple(attr_indiv, path.data_prop, literal_repr(F.col(path.column), path.dtype), path.dtype, True)
+            )
+        )
+
+    return reduce(lambda a, b: a.unionByName(b), pieces)
+
+
+def emit_transcript_triples(turns: DataFrame, po: PutativeOntology) -> DataFrame:
+    """Structural triples for the transcripts input: Conversation rows are the
+    distinct conv_ids (a map-side-combinable aggregate), Turn rows the input."""
+    conv_spec = po.tables["conversation"]
+    turn_spec = po.tables["turn"]
+    conversations = turns.select("conv_id").dropDuplicates(["conv_id"])
+    conv_triples = emit_table_triples(conversations, conv_spec, po)
+    turn_triples = emit_table_triples(turns, turn_spec, po)
+    return conv_triples.unionByName(turn_triples)
+
+
+def write_triples(triples: DataFrame, path: str, n_buckets: int = 32) -> None:
+    """Persist partitioned by subject hash so per-subject reads prune."""
+    (
+        triples.withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+        .repartition(n_buckets, "subj_bucket")
+        .write.mode("overwrite")
+        .partitionBy("subj_bucket")
+        .parquet(path)
+    )
