@@ -31,7 +31,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from knowledgegraphs_spark.sources.transcripts import ingest
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES, ingest
 
     ev = _t(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
@@ -39,13 +39,21 @@ def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
         F.col("turn_idx") % 3 + 1,
     )
+    # deterministic entity phrase: Knuth-hash index into the surface list —
+    # pure integer arithmetic, identical in the DuckDB oracle
+    idx = (F.col("event_id") * F.lit(2654435761)) % F.lit(len(ENTITY_SURFACES))
+    surface = F.element_at(F.array(*[F.lit(s) for s in ENTITY_SURFACES]), (idx + 1).cast("int"))
+    text = F.concat(
+        F.lit("Discussed "), surface, F.lit(" during "), F.col("event_type"),
+        F.lit(" event ref "), F.col("props"),
+    )
     turns = (
         ev.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
         .select(
             F.col("user_id").cast("string").alias("conv_id"),
             "turn_idx",
             role.alias("role"),
-            F.col("props").alias("text"),
+            text.alias("text"),
             F.when(role == "tool", F.col("event_type")).otherwise(F.lit(None).cast("string")).alias("tool"),
             "ts",
         )
@@ -53,14 +61,28 @@ def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ingest(turns)
 
 
+def _surfaces_sql_list() -> str:
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES
+
+    return "[" + ",".join("'" + s.replace("'", "''") + "'" for s in ENTITY_SURFACES) + "]"
+
+
 _TURNS_SQL = f"""
   SELECT cast(user_id AS varchar) AS conv_id,
          cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
          list_extract(['user','assistant','tool'],
                       cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) % 3 + 1) AS role_raw,
-         props AS text_raw, event_type, ts
+         'Discussed ' || list_extract({{SURFACES}},
+             cast((event_id * 2654435761) % {{NSURF}} AS int) + 1)
+           || ' during ' || event_type || ' event ref ' || props AS text_raw,
+         event_type, ts
   FROM events
 """.strip()
+from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES as _SURF
+
+_TURNS_SQL = _TURNS_SQL.replace("{SURFACES}", _surfaces_sql_list()).replace(
+    "{NSURF}", str(len(_SURF))
+)
 
 _TURNS_NORM_SQL = f"""
 WITH raw_turns AS ({_TURNS_SQL}),
@@ -89,6 +111,18 @@ def q_kg_triples_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     turns = _turns_from_events(spark, sf_dir)
     return emit_transcript_triples(turns, transcript_po()).select(
+        "subj", "pred", "obj", "obj_dtype", "is_literal"
+    )
+
+
+def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full KG pipeline (mentions → blocked matching → iterative CC →
+    triples). Not SQL-expressible (pandas-UDF predicate + iterative CC) —
+    driver records the rows-only check."""
+    from knowledgegraphs_spark.plans.pipeline import build_kg_triples
+
+    turns = _turns_from_events(spark, sf_dir)
+    return build_kg_triples(spark, turns).select(
         "subj", "pred", "obj", "obj_dtype", "is_literal"
     )
 
@@ -180,6 +214,7 @@ def q_anti_join_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_structural": q_kg_triples_structural,
+        "kg_triples_full": q_kg_triples_full,
         "f1_null_normalize": q_null_normalize,
         "a3_agg_pricing_summary": q_agg_pricing_summary,
         "w1_topk_orders_per_customer": q_topk_orders_per_customer,
@@ -226,5 +261,6 @@ def oracle_sql() -> dict[str, str]:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: KG construction over transcripts derived from sf0.001."""
-    return q_kg_triples_structural(spark, SF_DEFAULT)
+    """Flagship: full KG construction (mentions, blocked matching, iterative
+    CC canonicalization, triple materialization) over sf0.001 transcripts."""
+    return q_kg_triples_full(spark, SF_DEFAULT)

@@ -56,7 +56,6 @@ class EngineConfig:
     # ``NearDuplicates.py:91-102``): shortest string, then most whitespace,
     # then lexicographic for full determinism.
     cc_max_iterations: int = 50
-    cc_checkpoint_every: int = 6   # cut lineage in the iterative CC loop
 
 
 DEFAULT = EngineConfig()

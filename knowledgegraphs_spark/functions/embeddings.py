@@ -61,9 +61,14 @@ def encode_strings(
     Callers should pass DISTINCT strings (dedup-then-enrich) — embedding the
     same surface twice is wasted compute at any scale.
     """
+    from pyspark.sql import types as T
+
     cfg = cfg or MatchConfig()
     dim, ngr = cfg.embedding_dim, cfg.ngram_range
-    schema = df.schema.add(out_col, "array<float>")
+    # fresh StructType: .add() would mutate df's cached schema in place
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
+    )
     cols = df.columns
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

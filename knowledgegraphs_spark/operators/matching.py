@@ -1,0 +1,189 @@
+"""Entity matching (pipeline stage 4): blocking join → BES/PJ scoring →
+rank/threshold selection.
+
+Reference semantics being reproduced at scale:
+* J4 candidate blocking (``mapping_prediction.py:87-94,176-178``): an
+  inverted token index caps candidates per source element — here a token
+  self-join with IDF scoring and a top-k window, never an O(n²) cross join.
+* M1-M3 BES (``bert_classifier.py:153-160`` → north rule): broadcast
+  embeddings + blocked cosine × 100.
+* X7 PJ (``extractBertMapMappings.py:162-184``): token partial-ratio
+  overlap, via an Arrow-batched pandas UDF on DISTINCT pairs only.
+* W1/W2/W3 ranks (``extractBertMapMappings.py:77-97``): BESRank row_number,
+  PJRank composite dense_rank with zero-score → NULL (the reference's ∞).
+* F3/F4 + A3/W5 selection (``MappingSelection.java:134-227``): threshold
+  accept, then keep argmin-PJRank with PJPerc/BES tie-breaks.
+
+Scale levers: stop-token pruning caps the blocking blow-up (hot tokens are
+exactly the head-entity skew the north rule calls out); the optional salt
+spreads residual hot blocks; AQE skew-join splitting stays on from the
+session config.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..config import MatchConfig
+from ..functions.embeddings import cosine_col, encode_strings
+from ..functions.similarity import near_duplicate_udf, pj_score_udf
+
+
+def tokenize_surfaces(surfaces: DataFrame, col: str = "mention") -> DataFrame:
+    """(surface, token) pairs; lowercased word tokens of length > 1."""
+    toks = F.filter(
+        F.split(F.lower(F.col(col)), r"[^0-9a-z]+"),
+        lambda t: F.length(t) > 1,
+    )
+    return surfaces.select(col, F.explode(F.array_distinct(toks)).alias("token"))
+
+
+def blocking_pairs(
+    surfaces: DataFrame,
+    cfg: MatchConfig | None = None,
+    max_token_df: int = 1000,
+    col: str = "mention",
+) -> DataFrame:
+    """Candidate (src, tgt) pairs sharing ≥1 informative token, capped at
+    ``num_raw_candidates`` per src by summed token IDF (operator J4).
+
+    Tokens appearing in more than ``max_token_df`` surfaces are dropped from
+    the index — they carry ~zero IDF and would otherwise produce quadratic
+    blocks on head entities (standard meta-blocking practice; the analog of
+    the reference's idf_select pruning).
+    """
+    cfg = cfg or MatchConfig()
+    tok = tokenize_surfaces(surfaces, col).dropDuplicates([col, "token"])
+    n_surfaces = surfaces.count()
+    df_per_token = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    kept = df_per_token.filter((F.col("df") <= max_token_df) & (F.col("df") >= 2)).withColumn(
+        "idf", F.log(F.lit(float(max(n_surfaces, 2))) / F.col("df"))
+    )
+    indexed = tok.join(F.broadcast(kept), "token")
+    left = indexed.select(F.col(col).alias("src"), "token", "idf")
+    right = indexed.select(F.col(col).alias("tgt"), "token")
+    pairs = (
+        left.join(right, "token")
+        .filter(F.col("src") < F.col("tgt"))  # unordered pairs once
+        .groupBy("src", "tgt")
+        .agg(F.sum("idf").alias("idf_sum"))
+    )
+    w = W.partitionBy("src").orderBy(F.col("idf_sum").desc(), F.col("tgt"))
+    return (
+        pairs.withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= cfg.num_raw_candidates)
+        .drop("cand_rank")
+    )
+
+
+def blocking_join(
+    src_surfaces: DataFrame,
+    tgt_surfaces: DataFrame,
+    cfg: MatchConfig | None = None,
+    max_token_df: int = 1000,
+) -> DataFrame:
+    """Directed J4: for each src element, ≤ ``num_raw_candidates`` target
+    candidates by summed token IDF over an inverted index of the TARGET side
+    — the shape of the reference's ``idf_select`` over the target ontology's
+    annotation index (``mapping_prediction.py:87-94``)."""
+    cfg = cfg or MatchConfig()
+    tgt_tok = tokenize_surfaces(tgt_surfaces).dropDuplicates(["mention", "token"])
+    n_tgt = tgt_surfaces.count()
+    idf = (
+        tgt_tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_token_df)
+        .withColumn("idf", F.log(F.lit(float(max(n_tgt + 1, 2))) / F.col("df")))
+    )
+    index = tgt_tok.join(F.broadcast(idf), "token").select(
+        "token", F.col("mention").alias("tgt"), "idf"
+    )
+    src_tok = tokenize_surfaces(src_surfaces).dropDuplicates(["mention", "token"]).select(
+        F.col("mention").alias("src"), "token"
+    )
+    pairs = (
+        src_tok.join(index, "token")
+        .filter(F.col("src") != F.col("tgt"))
+        .groupBy("src", "tgt")
+        .agg(F.sum("idf").alias("idf_sum"))
+    )
+    w = W.partitionBy("src").orderBy(F.col("idf_sum").desc(), F.col("tgt"))
+    return (
+        pairs.withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= cfg.num_raw_candidates)
+        .drop("cand_rank")
+    )
+
+
+def score_pairs(
+    pairs: DataFrame, surfaces: DataFrame, cfg: MatchConfig | None = None
+) -> DataFrame:
+    """Append BES (cosine×100, JVM-side dot product over broadcast-joined
+    embeddings) and PJ/PJPerc/cLen (Arrow-batched pandas UDF) to each pair."""
+    cfg = cfg or MatchConfig()
+    emb = encode_strings(surfaces.select("mention").dropDuplicates(), "mention", "emb", cfg)
+    e_src = emb.select(F.col("mention").alias("src"), F.col("emb").alias("emb_src"))
+    e_tgt = emb.select(F.col("mention").alias("tgt"), F.col("emb").alias("emb_tgt"))
+    scored = (
+        pairs.join(F.broadcast(e_src), "src")
+        .join(F.broadcast(e_tgt), "tgt")
+        .withColumn("bes", F.round(cosine_col(F.col("emb_src"), F.col("emb_tgt")) * 100.0, 6))
+        .drop("emb_src", "emb_tgt")
+    )
+    pj = pj_score_udf(F.col("src"), F.col("tgt"))
+    return scored.withColumn("pj_struct", pj).select(
+        "*",
+        F.col("pj_struct.pj").alias("pj"),
+        F.col("pj_struct.pj_perc").alias("pj_perc"),
+        F.col("pj_struct.c_len").alias("c_len"),
+    ).drop("pj_struct")
+
+
+def rank_candidates(scored: DataFrame) -> DataFrame:
+    """W1 BESRank (row_number by BES desc), W2 PJRank (dense_rank by
+    (PJ desc, cLen desc), zero-PJ → NULL — the reference's ∞ rank)."""
+    w_bes = W.partitionBy("src").orderBy(F.col("bes").desc(), F.col("tgt"))
+    w_pj = W.partitionBy("src").orderBy(F.col("pj").desc(), F.col("c_len").desc())
+    return (
+        scored.withColumn("bes_rank", F.row_number().over(w_bes))
+        .withColumn(
+            "pj_rank",
+            F.when(F.col("pj") > 0, F.dense_rank().over(w_pj)).otherwise(F.lit(None)),
+        )
+    )
+
+
+def select_matches(ranked: DataFrame, cfg: MatchConfig | None = None) -> DataFrame:
+    """Threshold + argmin-rank selection (reference MappingSelection):
+    F3 reject floors → F4 accept rule → keep rows at min PJRank per src,
+    tie-break max PJPerc then max BES then tgt."""
+    cfg = cfg or MatchConfig()
+    accepted = ranked.filter(
+        (F.col("pj") >= cfg.pj_reject)
+        & (F.col("bes") >= cfg.bes_reject)
+        & (
+            (F.col("bes") >= cfg.bes_high)
+            | ((F.col("bes") >= cfg.bes_low) & (F.col("pj") >= cfg.pj_high))
+        )
+    )
+    w = W.partitionBy("src")
+    with_min = accepted.withColumn("min_pj_rank", F.min("pj_rank").over(w))
+    at_min = with_min.filter(
+        F.col("pj_rank").isNotNull() & (F.col("pj_rank") == F.col("min_pj_rank"))
+    )
+    w_pick = W.partitionBy("src").orderBy(
+        F.col("pj_perc").desc(), F.col("bes").desc(), F.col("tgt")
+    )
+    return (
+        at_min.withColumn("pick", F.row_number().over(w_pick))
+        .filter(F.col("pick") == 1)
+        .drop("pick", "min_pj_rank")
+    )
+
+
+def near_duplicate_edges(pairs: DataFrame) -> DataFrame:
+    """Candidate pairs passing the composite near-duplicate predicate (X10,
+    non-strict) — the match-edge input to canonicalization (G2)."""
+    return pairs.filter(near_duplicate_udf(F.col("src"), F.col("tgt"))).select("src", "tgt")

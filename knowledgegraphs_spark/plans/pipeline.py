@@ -1,0 +1,185 @@
+"""The end-to-end KG-construction pipeline (SURVEY.md §7 stage order).
+
+    ingest → mentions → match edges → canonicalize → triples + entity catalog
+
+Every stage materializes to parquet under the workdir with a manifest entry
+(per-partition counters, wall time) so any run resumes mid-pipeline. Stage
+outputs are the same IR boundaries the reference persists as files between
+stages (``Config.java:258-268``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import BASE_PREFIX, RDF_TYPE, EngineConfig
+from ..functions import naming
+from ..operators.canonicalize import canonical_mapping
+from ..operators.matching import blocking_pairs, near_duplicate_edges
+from ..operators.mentions import distinct_surfaces, extract_mentions
+from ..operators.po_extraction import transcript_po
+from ..operators.skew import join_small_dim
+from ..operators.triples import _triple, emit_transcript_triples
+from ..sources.transcripts import ingest
+from .manifest import Manifest
+
+
+@dataclass
+class PipelineResult:
+    triples: DataFrame
+    entities: DataFrame
+    canonical: DataFrame
+    mentions: DataFrame
+    stats: dict
+
+
+def mention_triples(mentions_canon: DataFrame) -> DataFrame:
+    """Mention + entity triples. Input columns: conv_id, turn_idx, mention,
+    kind, pos, canonical. URIs are pure functions of the natural keys."""
+    turn = F.concat_ws("_", F.lit(f"{BASE_PREFIX}Turn_2"), F.col("conv_id"), F.col("turn_idx").cast("string"))
+    m_uri = F.concat_ws(
+        "_", F.lit(f"{BASE_PREFIX}Mention_3"), F.col("conv_id"),
+        F.col("turn_idx").cast("string"), F.col("kind"), F.col("pos").cast("string"),
+    )
+    e_uri = F.concat(F.lit(f"{BASE_PREFIX}Entity_"), naming.valid_name_col(F.col("canonical")))
+    df = mentions_canon
+    pieces = [
+        df.select(*_triple(turn, "has_mention", m_uri, None, False)),
+        df.select(*_triple(m_uri, RDF_TYPE, class_uri_lit("Mention"), None, False)),
+        df.select(*_triple(m_uri, "has_surface_VALUE", F.col("mention"), "xsd:string", True)),
+        df.select(*_triple(m_uri, "p_Mention_Entity", e_uri, None, False)),
+        df.select(*_triple(e_uri, RDF_TYPE, class_uri_lit("Entity"), None, False)).dropDuplicates(),
+        df.select(*_triple(e_uri, "has_label_VALUE", F.col("canonical"), "xsd:string", True)).dropDuplicates(),
+    ]
+    return reduce(lambda a, b: a.unionByName(b), pieces)
+
+
+def class_uri_lit(name: str):
+    return F.lit(f"{BASE_PREFIX}{name}")
+
+
+def entity_catalog(mentions_canon: DataFrame) -> DataFrame:
+    """The entity-catalog dimension: one row per canonical entity."""
+    e_uri = F.concat(F.lit(f"{BASE_PREFIX}Entity_"), naming.valid_name_col(F.col("canonical")))
+    return (
+        mentions_canon.withColumn("entity_uri", e_uri)
+        .groupBy("entity_uri", "canonical")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.size(F.collect_set("mention")).alias("n_surfaces"),
+            F.array_sort(F.collect_set("mention")).alias("surfaces"),
+        )
+    )
+
+
+def build_kg_triples(
+    spark: SparkSession, turns_raw: DataFrame, cfg: EngineConfig | None = None
+) -> DataFrame:
+    """Pure (no-IO) composition of the full pipeline: structural + mention +
+    entity triples. Used by ``__spark_entry__.entry`` and ad-hoc callers; the
+    manifest/resume path is :func:`run_pipeline`."""
+    cfg = cfg or EngineConfig()
+    turns = ingest(turns_raw, cfg.shuffle_partitions)
+    po = transcript_po()
+    mentions = extract_mentions(turns)
+    surfaces = distinct_surfaces(mentions).select("mention")
+    edges = near_duplicate_edges(blocking_pairs(surfaces, cfg.match))
+    canonical = canonical_mapping(surfaces, edges, cfg)
+    m_canon = join_small_dim(
+        mentions, canonical.select("mention", "canonical"), "mention",
+        salt_buckets=cfg.match.salt_buckets,
+        salt_from=["conv_id", "turn_idx", "pos"],
+    )
+    return emit_transcript_triples(turns, po).unionByName(mention_triples(m_canon))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    turns_raw: DataFrame,
+    workdir: str,
+    cfg: EngineConfig | None = None,
+    input_fingerprint: str = "",
+    resume: bool = True,
+) -> PipelineResult:
+    cfg = cfg or EngineConfig()
+    man = Manifest(workdir)
+    stats: dict = {"skipped": [], "ran": []}
+
+    def stage(name: str, parent_fp: str, build, partition_cols: list[str] | None = None) -> tuple[DataFrame, str]:
+        fp = Manifest.fingerprint(name, repr(cfg), parent_fp)
+        out = man.output_path(name)
+        if resume and man.is_complete(name, fp):
+            stats["skipped"].append(name)
+            return spark.read.parquet(out), fp
+        t0 = time.time()
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(out)
+        result = spark.read.parquet(out)
+        if partition_cols:
+            parts = {
+                str(r[partition_cols[0]]): r["cnt"]
+                for r in result.groupBy(partition_cols[0]).agg(F.count(F.lit(1)).alias("cnt")).collect()
+            }
+            rows = sum(parts.values())
+        else:
+            parts = {}
+            rows = result.count()
+        man.record(name, fp, rows, time.time() - t0, parts)
+        stats["ran"].append(name)
+        return result, fp
+
+    po = transcript_po()
+
+    turns, fp_turns = stage(
+        "turns", input_fingerprint,
+        lambda: ingest(turns_raw, cfg.shuffle_partitions),
+    )
+    mentions, fp_mentions = stage(
+        "mentions", fp_turns, lambda: extract_mentions(turns)
+    )
+    edges, fp_edges = stage(
+        "match_edges", fp_mentions,
+        lambda: near_duplicate_edges(
+            blocking_pairs(distinct_surfaces(mentions).select("mention"), cfg.match)
+        ),
+    )
+    canonical, fp_canon = stage(
+        "canonical", fp_edges,
+        lambda: canonical_mapping(distinct_surfaces(mentions).select("mention"), edges, cfg),
+    )
+
+    def build_triples() -> DataFrame:
+        structural = emit_transcript_triples(turns, po)
+        m_canon = join_small_dim(
+            mentions, canonical.select("mention", "canonical"), "mention",
+            salt_buckets=cfg.match.salt_buckets,
+            salt_from=["conv_id", "turn_idx", "pos"],
+        )
+        all_triples = structural.unionByName(mention_triples(m_canon))
+        return all_triples.withColumn(
+            "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(cfg.shuffle_partitions))
+        ).repartition(cfg.shuffle_partitions, "subj_bucket")
+
+    triples, fp_triples = stage("triples", fp_canon, build_triples, ["subj_bucket"])
+
+    entities, _fp_ent = stage(
+        "entities", fp_canon,
+        lambda: entity_catalog(
+            join_small_dim(
+                mentions, canonical.select("mention", "canonical"), "mention",
+                salt_buckets=cfg.match.salt_buckets,
+                salt_from=["conv_id", "turn_idx", "pos"],
+            )
+        ),
+    )
+
+    stats["manifest"] = man.stages
+    return PipelineResult(triples, entities, canonical, mentions, stats)

@@ -46,6 +46,10 @@ PERSON_FORMS = [
     ["Globex Industries", "Globex Ind.", "globex industries"],
 ]
 ABBREVS = ["CAD", "acct_no", "SSN", "KYC", "APR"]
+# flat deterministic surface list used to decorate driver test data with
+# entity mentions (selection by pure integer arithmetic — reproducible in
+# any engine, no hash functions needed)
+ENTITY_SURFACES = [s for grp in PERSON_FORMS for s in grp] + ABBREVS
 TOOLS = ["search_web", "search_web", "search_web", "search_web", "calculator", "db_query", "code_exec"]
 ROLES = ["user", "assistant", "tool"]
 NULLISH = ["", "-", "none", "null"]

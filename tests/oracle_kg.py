@@ -109,6 +109,35 @@ def expected_near_dup_groups(surfaces: list[str]) -> dict[str, str]:
     return mapping
 
 
+def expected_full_triples(rows: list[tuple]) -> set[tuple[str, str, str]]:
+    """Structural + mention/entity triples, with O(n²) near-dup grouping —
+    the complete reference-semantics output for a transcript corpus."""
+    from knowledgegraphs_spark.functions.naming import valid_name
+    from knowledgegraphs_spark.operators.mentions import extract_mentions_python
+
+    triples = set(expected_structural_triples(rows))
+    mentions: list[tuple[str, int, str, str, int]] = []
+    surfaces: set[str] = set()
+    for conv_id, turn_idx, _role, text, _tool, _ts in rows:
+        if _nullish(text):
+            continue
+        for m, kind, pos in extract_mentions_python(text):
+            mentions.append((conv_id, turn_idx, m, kind, pos))
+            surfaces.add(m)
+    canon = expected_near_dup_groups(sorted(surfaces))
+    for conv_id, turn_idx, m, kind, pos in mentions:
+        turn = f"{BASE_PREFIX}Turn_2_{conv_id}_{turn_idx}"
+        muri = f"{BASE_PREFIX}Mention_3_{conv_id}_{turn_idx}_{kind}_{pos}"
+        euri = f"{BASE_PREFIX}Entity_{valid_name(canon[m])}"
+        triples.add((turn, "has_mention", muri))
+        triples.add((muri, RDF_TYPE, f"{BASE_PREFIX}Mention"))
+        triples.add((muri, "has_surface_VALUE", m))
+        triples.add((muri, "p_Mention_Entity", euri))
+        triples.add((euri, RDF_TYPE, f"{BASE_PREFIX}Entity"))
+        triples.add((euri, "has_label_VALUE", canon[m]))
+    return triples
+
+
 def triple_precision_recall(
     got: set[tuple[str, str, str]], expected: set[tuple[str, str, str]]
 ) -> tuple[float, float]:

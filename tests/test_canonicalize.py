@@ -1,0 +1,45 @@
+"""Connected components + canonical pick vs the union-find oracle
+(FIXTURES.md §5: chains needing ≥3 iterations, a high-degree hub, ties)."""
+
+from knowledgegraphs_spark.operators.canonicalize import canonical_mapping, connected_components
+
+from tests.oracle_kg import expected_components
+
+
+def _groups(mapping: dict[str, str]) -> set[frozenset]:
+    inv: dict[str, set] = {}
+    for k, v in mapping.items():
+        inv.setdefault(v, set()).add(k)
+    return {frozenset(g) for g in inv.values()}
+
+
+def test_cc_long_chain_and_hub(spark):
+    # chain of 12 (forces multiple star rounds), hub with 30 spokes, and an
+    # isolated pair
+    chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]
+    hub = [("hub", f"spoke{i:02d}") for i in range(30)]
+    pair = [("x1", "x2")]
+    edges = chain + hub + pair
+    surfaces = sorted({n for e in edges for n in e})
+
+    sdf = spark.createDataFrame([(s,) for s in surfaces], "mention string")
+    edf = spark.createDataFrame(edges, "src string, tgt string")
+    got = {r.mention: r.canonical for r in canonical_mapping(sdf, edf).collect()}
+
+    oracle = expected_components(edges)
+    assert _groups(got) == _groups(oracle)
+    assert got == oracle  # canonical pick matches tie-break too
+
+
+def test_cc_isolated_nodes_self_map(spark):
+    sdf = spark.createDataFrame([("alone",), ("a",), ("b",)], "mention string")
+    edf = spark.createDataFrame([("a", "b")], "src string, tgt string")
+    got = {r.mention: r.canonical for r in canonical_mapping(sdf, edf).collect()}
+    assert got["alone"] == "alone"
+    assert got["a"] == got["b"] == "a"
+
+
+def test_cc_numeric_component_ids(spark):
+    e = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    got = {r.node: r.component for r in connected_components(e).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}

@@ -1,0 +1,83 @@
+"""PJ/BES scoring semantics — the FIXTURES.md §4 worked example
+(reference ``mapping_prediction.py:343-356``) plus near-dup predicate cases."""
+
+import pytest
+
+from knowledgegraphs_spark.functions.similarity import (
+    char_jaccard,
+    edit_similarity,
+    is_near_duplicate,
+    length_diff_pct,
+    partial_ratio,
+    pj_score,
+)
+
+SRC = "contribution interest rate"
+# (tgt, expected_pj, expected_clen, expected_dense_rank)
+WORKED = [
+    ("rate", 1.0, 1, 2),
+    ("base rate", 0.5, 2, 3),
+    ("interest rate", 1.0, 2, 1),
+    ("some other with interest rate", 2 / 5, 5, 4),
+    ("unsuitable candidate", 0.0, 2, None),
+]
+
+
+@pytest.mark.parametrize("tgt,exp_pj,exp_clen,_rank", WORKED)
+def test_pj_worked_example(tgt, exp_pj, exp_clen, _rank):
+    pj, pj_perc, c_len = pj_score(SRC, tgt)
+    assert pj == pytest.approx(exp_pj)
+    assert c_len == exp_clen
+    assert 0.0 <= pj_perc <= 1.0
+    if exp_pj == 1.0:
+        assert pj_perc == pytest.approx(1.0)
+
+
+def test_pj_dense_rank_semantics(spark):
+    """W2: dense_rank over (PJ desc, cLen desc); zero-PJ → NULL (∞)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.operators.matching import rank_candidates
+
+    rows = [(SRC, t) for t, *_ in WORKED]
+    df = spark.createDataFrame(rows, "src string, tgt string")
+    from knowledgegraphs_spark.functions.similarity import pj_score_udf
+
+    scored = df.withColumn("p", pj_score_udf("src", "tgt")).select(
+        "src", "tgt", F.lit(50.0).alias("bes"),
+        F.col("p.pj").alias("pj"), F.col("p.pj_perc").alias("pj_perc"), F.col("p.c_len").alias("c_len"),
+    )
+    got = {r.tgt: r.pj_rank for r in rank_candidates(scored).collect()}
+    for tgt, _pj, _cl, exp_rank in WORKED:
+        assert got[tgt] == exp_rank, (tgt, got)
+
+
+def test_partial_ratio_containment():
+    assert partial_ratio("rate", SRC) == 100
+    assert partial_ratio("interest", SRC) == 100
+    assert partial_ratio("base", SRC) < 100
+
+
+def test_edit_similarity():
+    assert edit_similarity("abc", "abc") == 1.0
+    assert edit_similarity("abc", "abd") == pytest.approx(2 / 3)
+
+
+def test_char_jaccard_and_lendiff():
+    assert char_jaccard("abc", "bcd") == pytest.approx(2 / 4)
+    assert length_diff_pct("ab", "abcd") == pytest.approx(2 / 3 * 100)
+
+
+@pytest.mark.parametrize(
+    "a,b,expected",
+    [
+        ("John Smith", "J. Smith", True),        # partial token-sort ≥ 85
+        ("Maria  Garcia", "Maria Garcia", True),  # same token concat
+        ("john smith", "John Smith", True),       # case-insensitive concat
+        ("ACME Corp.", "Acme Corp", True),        # same token set
+        ("Acme Corporation", "Globex Industries", False),
+        ("CAD", "KYC", False),
+    ],
+)
+def test_near_duplicate_predicate(a, b, expected):
+    assert is_near_duplicate(a, b, strict=False) is expected
