@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries + the end-to-end KG pipeline, plus
+the two-parallelism-level scaling run that evidences the BASELINE.json
+cluster-size criterion (N vs 4N cores stands in for N vs 4N executors).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "turns_per_sec": ..., "scaling": {"n_low": .., "n_high": ..,
+   "tps_low": .., "tps_high": .., "efficiency": ..}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     SPARK_GRAFT_BENCH_CONV (synthetic conversations for the e2e run),
+     SPARK_GRAFT_SCALING=0 to skip the two-level scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from knowledgegraphs_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "250000"))
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+# scaling pair: N and 4N cores, both kept well under the host's free
+# capacity — this sandbox is a shared 32-core box with a background load of
+# ~10-14 from other tenants, so local[32] measures straggler noise, not us.
+SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
+SCALE_HIGH = 4 * SCALE_LOW
+
+OPERATOR_QUERIES = [
+    "kg_triples_structural",
+    "a3_agg_pricing_summary",
+    "w1_topk_orders_per_customer",
+    "j1_fk_join_customer_nation",
+    "j2_anti_join_containment",
+]
+
+
+def _time(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _warmup(spark, tmp: str) -> None:
+    """One tiny end-to-end build to pay JIT/codegen/python-worker startup
+    before the timed run (applied identically at every parallelism level)."""
+    from knowledgegraphs_spark.plans.pipeline import build_kg_triples
+    from knowledgegraphs_spark.sources.transcripts import synthesize_transcripts_distributed
+
+    out = os.path.join(tmp, "warmup_out")
+    small = synthesize_transcripts_distributed(spark, 2000, n_partitions=16)
+    build_kg_triples(spark, small).write.mode("overwrite").parquet(out)
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def _pipeline_seconds(spark, input_path: str, reps: int = REPS) -> tuple[float, int]:
+    """Full materialization: write the triples table (count() would let
+    Catalyst prune the triple construction away). Best-of-``reps`` — this
+    sandbox shares its host with other tenants, and a single straggler-hit
+    run measures their load, not this engine."""
+    from knowledgegraphs_spark.plans.pipeline import build_kg_triples
+
+    turns = spark.read.parquet(input_path)
+    n_turns = turns.count()
+    out = input_path + "_triples_out"
+    best = float("inf")
+    for _ in range(reps):
+        best = min(
+            best,
+            _time(lambda: build_kg_triples(spark, turns).write.mode("overwrite").parquet(out)),
+        )
+    shutil.rmtree(out, ignore_errors=True)
+    return best, n_turns
+
+
+def main() -> None:
+    import __spark_entry__ as entry_mod
+
+    tmp_base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="kg_bench_", dir=tmp_base)
+    input_path = os.path.join(tmp, "turns")
+    results: dict[str, float] = {}
+
+    spark = get_spark("kg-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
+    try:
+        # materialize the synthetic e2e input once (both scaling levels read it)
+        from knowledgegraphs_spark.sources.transcripts import synthesize_transcripts_distributed
+
+        synthesize_transcripts_distributed(spark, N_CONV, n_partitions=64).write.mode(
+            "overwrite"
+        ).parquet(input_path)
+
+        qs = entry_mod.queries()
+        for name in OPERATOR_QUERIES:
+            results[name] = _time(lambda q=qs[name]: q(spark, SF_DIR).count())
+
+        _warmup(spark, tmp)
+        e2e_secs, n_turns = _pipeline_seconds(spark, input_path)
+        results["kg_pipeline_e2e"] = e2e_secs
+        tps_full = round(n_turns / e2e_secs, 1)
+    finally:
+        spark.stop()
+
+    scaling = {}
+    if RUN_SCALING:
+        n_low, n_high = SCALE_LOW, SCALE_HIGH
+        tps = {}
+        for n in (n_low, n_high):
+            s = get_spark(f"kg-bench-scale-{n}", master=f"local[{n}]", shuffle_partitions=max(n * 2, 16))
+            try:
+                _warmup(s, tmp)
+                secs, n_turns = _pipeline_seconds(s, input_path)
+                tps[n] = round(n_turns / secs, 1)
+            finally:
+                s.stop()
+        scaling = {
+            "n_low": n_low,
+            "n_high": n_high,
+            "tps_low": tps[n_low],
+            "tps_high": tps[n_high],
+            "efficiency": round(tps[n_high] / (tps[n_low] * (n_high / n_low)), 3),
+        }
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "kg_pipeline_e2e_wall",
+                "value": results["kg_pipeline_e2e"],
+                "unit": "sec",
+                "queries": results,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "turns_per_sec": tps_full,
+                "n_synth_conversations": N_CONV,
+                "scaling": scaling,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

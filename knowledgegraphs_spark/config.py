@@ -56,6 +56,13 @@ class EngineConfig:
     # ``NearDuplicates.py:91-102``): shortest string, then most whitespace,
     # then lexicographic for full determinism.
     cc_max_iterations: int = 50
+    # below this edge count CC collects to the driver (in-memory union-find);
+    # above it the distributed large-star/small-star path runs
+    cc_driver_threshold: int = 2_000_000
+    # below this distinct-surface count the whole match-edge + canonicalize
+    # computation runs in memory (identical output) — a dozen Spark stages
+    # over a vocabulary-sized dim is pure scheduling latency
+    vocab_driver_threshold: int = 100_000
 
 
 DEFAULT = EngineConfig()

@@ -60,6 +60,25 @@ def _signature(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """In-memory union-find (path-halving) — the reference's own algorithm
+    shape (``UnionFind.py:30-71``); component id = min member."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
 def connected_components(
     edges: DataFrame, cfg: EngineConfig | None = None
 ) -> DataFrame:
@@ -67,13 +86,28 @@ def connected_components(
 
     Component id is the minimum node id. Isolated handling is the caller's
     job (nodes absent from ``edges`` are their own component).
+
+    Two physical strategies, same result:
+    * edge count ≤ ``cc_driver_threshold`` → collect + in-memory union-find
+      (vocabulary-scale match graphs are tiny; a driver loop of Spark jobs
+      would be pure latency);
+    * otherwise → alternating large-star/small-star rounds, O(log n)
+      convergence, per-round localCheckpoint.
     """
     cfg = cfg or EngineConfig()
+    spark = edges.sparkSession
     e = edges.select(F.col("a").cast("long"), F.col("b").cast("long")).where(
         F.col("a") != F.col("b")
     ).distinct()
     e = e.localCheckpoint(eager=True)
     sig = _signature(e)
+    if sig[0] <= cfg.cc_driver_threshold:
+        comp = _driver_union_find([(r["a"], r["b"]) for r in e.collect()])
+        if not comp:
+            return spark.createDataFrame([], "node long, component long")
+        return spark.createDataFrame(
+            sorted(comp.items()), "node long, component long"
+        )
     for _i in range(cfg.cc_max_iterations):
         # checkpoint EVERY round: without it the plan doubles per iteration
         # and each signature action recomputes the whole history.
@@ -89,18 +123,65 @@ def connected_components(
     return stars.union(roots).groupBy("node").agg(F.min("component").alias("component"))
 
 
-def canonical_mapping(
-    surfaces: DataFrame, edges: DataFrame, cfg: EngineConfig | None = None
-) -> DataFrame:
-    """surfaces(mention) + edges(src, tgt) →
-    (mention, canonical, component) — every surface mapped to its component's
-    canonical representative (itself if unmatched).
+def canonical_pick(group: list[str]) -> str:
+    """Shortest, most whitespace, then lexicographic (reference tie-break
+    ``NearDuplicates.py:91-102``)."""
+    return min(group, key=lambda s: (len(s), -s.count(" "), s))
 
-    Node ids are ``xxhash64(mention)`` — a pure function of the surface, so
-    the mapping is reproducible under any partitioning (no
-    monotonically_increasing_id).
+
+def _canonical_mapping_python(
+    surfaces: list[str], edges: list[tuple[str, str]]
+) -> list[tuple[str, str]]:
+    """In-memory twin of the distributed mapping."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    groups: dict[str, list[str]] = {}
+    for s in surfaces:
+        groups.setdefault(find(s) if s in parent else s, []).append(s)
+    out: list[tuple[str, str]] = []
+    for members in groups.values():
+        canon = canonical_pick(members)
+        out.extend((m, canon) for m in members)
+    return sorted(out)
+
+
+def canonical_mapping(
+    surfaces: DataFrame,
+    edges: DataFrame,
+    cfg: EngineConfig | None = None,
+    n_surfaces: int | None = None,
+) -> DataFrame:
+    """surfaces(mention) + edges(src, tgt) → (mention, canonical) — every
+    surface mapped to its component's canonical representative (itself if
+    unmatched). The canonical surface IS the component identity.
+
+    Distributed path: node ids are ``xxhash64(mention)`` — a pure function of
+    the surface, so the mapping is reproducible under any partitioning (no
+    monotonically_increasing_id). Vocabulary-scale inputs
+    (≤ ``vocab_driver_threshold``) run fully in memory — same output, none of
+    the per-stage scheduling latency.
     """
     cfg = cfg or EngineConfig()
+    if n_surfaces is None:
+        n_surfaces = surfaces.count()
+    if n_surfaces <= cfg.vocab_driver_threshold:
+        surfs = [r["mention"] for r in surfaces.select("mention").collect()]
+        pairs = [(r["src"], r["tgt"]) for r in edges.select("src", "tgt").collect()]
+        rows = _canonical_mapping_python(surfs, pairs)
+        schema = "mention string, canonical string"
+        spark = surfaces.sparkSession
+        return spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
     ids = surfaces.select("mention").dropDuplicates().withColumn(
         "node", F.xxhash64("mention")
     )
@@ -119,4 +200,4 @@ def canonical_mapping(
         "canonical",
         F.first("mention").over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
     )
-    return canon.select("mention", "canonical", "component")
+    return canon.select("mention", "canonical")

@@ -45,6 +45,7 @@ def blocking_pairs(
     cfg: MatchConfig | None = None,
     max_token_df: int = 1000,
     col: str = "mention",
+    n_surfaces: int | None = None,
 ) -> DataFrame:
     """Candidate (src, tgt) pairs sharing ≥1 informative token, capped at
     ``num_raw_candidates`` per src by summed token IDF (operator J4).
@@ -56,7 +57,8 @@ def blocking_pairs(
     """
     cfg = cfg or MatchConfig()
     tok = tokenize_surfaces(surfaces, col).dropDuplicates([col, "token"])
-    n_surfaces = surfaces.count()
+    if n_surfaces is None:
+        n_surfaces = surfaces.count()
     df_per_token = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     kept = df_per_token.filter((F.col("df") <= max_token_df) & (F.col("df") >= 2)).withColumn(
         "idf", F.log(F.lit(float(max(n_surfaces, 2))) / F.col("df"))
@@ -187,3 +189,70 @@ def near_duplicate_edges(pairs: DataFrame) -> DataFrame:
     """Candidate pairs passing the composite near-duplicate predicate (X10,
     non-strict) — the match-edge input to canonicalization (G2)."""
     return pairs.filter(near_duplicate_udf(F.col("src"), F.col("tgt"))).select("src", "tgt")
+
+
+def _near_dup_edges_python(
+    surfaces: list[str], cfg: MatchConfig, max_token_df: int = 1000
+) -> list[tuple[str, str]]:
+    """Exact in-memory twin of blocking_pairs → near_duplicate_edges, for
+    vocabulary-scale surface sets: token inverted index, IDF-capped top-k
+    candidates per src, composite near-dup predicate."""
+    import math
+    import re as _re
+
+    from ..functions.similarity import is_near_duplicate
+
+    n = len(surfaces)
+    tok_of: dict[str, set[str]] = {
+        s: {t for t in _re.split(r"[^0-9a-z]+", s.lower()) if len(t) > 1} for s in surfaces
+    }
+    index: dict[str, list[str]] = {}
+    for s, toks in tok_of.items():
+        for t in toks:
+            index.setdefault(t, []).append(s)
+    idf = {
+        t: math.log(max(n, 2) / len(members))
+        for t, members in index.items()
+        if 2 <= len(members) <= max_token_df
+    }
+    pair_idf: dict[tuple[str, str], float] = {}
+    for t, w in idf.items():
+        members = sorted(index[t])
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                pair_idf[(a, b)] = pair_idf.get((a, b), 0.0) + w
+    by_src: dict[str, list[tuple[float, str]]] = {}
+    for (a, b), w in pair_idf.items():
+        by_src.setdefault(a, []).append((w, b))
+    edges: list[tuple[str, str]] = []
+    for a, cands in by_src.items():
+        cands.sort(key=lambda x: (-x[0], x[1]))
+        for _w, b in cands[: cfg.num_raw_candidates]:
+            if is_near_duplicate(a, b, strict=False):
+                edges.append((a, b))
+    return sorted(edges)
+
+
+def compute_match_edges(
+    surfaces: DataFrame,
+    cfg: MatchConfig | None = None,
+    n_surfaces: int | None = None,
+    vocab_driver_threshold: int = 100_000,
+    max_token_df: int = 1000,
+) -> DataFrame:
+    """Match-edge computation with two physical strategies, same result:
+    vocabulary ≤ threshold → in-memory (a dozen Spark stages over a few
+    thousand strings is pure scheduling latency); larger → distributed
+    blocking join + Arrow-batched predicate."""
+    cfg = cfg or MatchConfig()
+    spark = surfaces.sparkSession
+    if n_surfaces is None:
+        n_surfaces = surfaces.count()
+    if n_surfaces <= vocab_driver_threshold:
+        surfs = [r["mention"] for r in surfaces.select("mention").collect()]
+        edges = _near_dup_edges_python(surfs, cfg, max_token_df)
+        schema = "src string, tgt string"
+        return spark.createDataFrame(edges, schema) if edges else spark.createDataFrame([], schema)
+    return near_duplicate_edges(
+        blocking_pairs(surfaces, cfg, max_token_df, n_surfaces=n_surfaces)
+    )

@@ -17,7 +17,6 @@ URI, so no global counters (reference uses per-record counters,
 from __future__ import annotations
 
 import re
-from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -44,18 +43,22 @@ def extract_mentions_python(text: str) -> list[tuple[str, str, int]]:
 
 
 def extract_mentions(turns: DataFrame) -> DataFrame:
-    """mentions(conv_id, turn_idx, mention, kind, pos)."""
+    """mentions(conv_id, turn_idx, mention, kind, pos) — single scan: all
+    pattern kinds are collected into one array of structs per row, then
+    exploded once (a per-kind union would rescan the input per pattern)."""
     nonnull = turns.filter(F.col("text").isNotNull()).select("conv_id", "turn_idx", "text")
-    pieces = []
-    for kind, pattern in MENTION_PATTERNS.items():
-        pieces.append(
-            nonnull.select(
-                "conv_id",
-                "turn_idx",
-                F.posexplode(F.regexp_extract_all("text", F.lit(pattern), 0)).alias("pos", "mention"),
-            ).select("conv_id", "turn_idx", "mention", F.lit(kind).alias("kind"), "pos")
+    kind_arrays = [
+        F.transform(
+            F.regexp_extract_all("text", F.lit(pattern), 0),
+            lambda m, i: F.struct(
+                m.alias("mention"), F.lit(kind).alias("kind"), i.cast("int").alias("pos")
+            ),
         )
-    return reduce(lambda a, b: a.unionByName(b), pieces)
+        for kind, pattern in MENTION_PATTERNS.items()
+    ]
+    return nonnull.select(
+        "conv_id", "turn_idx", F.explode(F.concat(*kind_arrays)).alias("m")
+    ).select("conv_id", "turn_idx", "m.mention", "m.kind", "m.pos")
 
 
 def distinct_surfaces(mentions: DataFrame) -> DataFrame:

@@ -70,6 +70,72 @@ def literal_repr(c: Column, dtype: str) -> Column:
     return c.cast("string")
 
 
+def _triple_struct(subj: Column, pred: Column | str, obj: Column, dtype: str | None, literal: bool) -> Column:
+    p = F.lit(pred) if isinstance(pred, str) else pred
+    return F.struct(
+        subj.alias("subj"),
+        p.alias("pred"),
+        obj.alias("obj"),
+        F.lit(dtype).cast("string").alias("obj_dtype"),
+        F.lit(literal).alias("is_literal"),
+    )
+
+
+def emit_table_triples_single_pass(
+    df: DataFrame, spec: TableSpec, po: PutativeOntology
+) -> DataFrame:
+    """Single-scan triple emission for tables whose FK values ARE the
+    referenced PKs (no join needed — the transcripts case): every row
+    projects an array of triple structs which is exploded once.
+
+    Compared to a per-predicate ``unionByName`` this reads the input ONCE
+    instead of 3×columns+2 times — at 100 TB that is the difference between
+    one pass and twenty.
+    """
+    subj = indiv_uri(spec.class_name, spec.table_id, spec.pks)
+    arrays: list[Column] = [
+        F.array(_triple_struct(subj, RDF_TYPE, class_uri(spec.class_name), None, False))
+    ]
+    for fk in spec.fks:
+        ref_spec = po.tables[fk.ref_table]
+        tgt = F.concat_ws(
+            "_",
+            F.lit(f"{BASE_PREFIX}{ref_spec.class_name}_{ref_spec.table_id}"),
+            F.col(fk.column).cast("string"),
+        )
+        fwd = naming.pure_obj_property(spec.class_name, ref_spec.class_name)
+        inv = naming.inverse_property(fwd)
+        arrays.append(
+            F.when(
+                F.col(fk.column).isNotNull(),
+                F.array(
+                    _triple_struct(subj, fwd, tgt, None, False),
+                    _triple_struct(tgt, inv, subj, None, False),
+                ),
+            ).otherwise(F.array().cast("array<struct<subj:string,pred:string,obj:string,obj_dtype:string,is_literal:boolean>>"))
+        )
+    for path in (p for p in po.column_paths if p.table == spec.name):
+        attr_indiv = F.concat_ws(
+            "_",
+            F.lit(f"{BASE_PREFIX}{path.attr_class}_{spec.table_id}"),
+            *[F.col(c).cast("string") for c in spec.pks],
+        )
+        arrays.append(
+            F.when(
+                F.col(path.column).isNotNull(),
+                F.array(
+                    _triple_struct(subj, path.obj_prop, attr_indiv, None, False),
+                    _triple_struct(attr_indiv, RDF_TYPE, class_uri(path.attr_class), None, False),
+                    _triple_struct(
+                        attr_indiv, path.data_prop, literal_repr(F.col(path.column), path.dtype), path.dtype, True
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<subj:string,pred:string,obj:string,obj_dtype:string,is_literal:boolean>>"))
+        )
+    exploded = df.select(F.explode(F.concat(*arrays)).alias("t"))
+    return exploded.select("t.subj", "t.pred", "t.obj", "t.obj_dtype", "t.is_literal")
+
+
 def emit_table_triples(
     df: DataFrame,
     spec: TableSpec,
@@ -131,12 +197,14 @@ def emit_table_triples(
 
 def emit_transcript_triples(turns: DataFrame, po: PutativeOntology) -> DataFrame:
     """Structural triples for the transcripts input: Conversation rows are the
-    distinct conv_ids (a map-side-combinable aggregate), Turn rows the input."""
+    distinct conv_ids (a map-side-combinable aggregate), Turn rows the input.
+    Both sides emit in a single scan each (see
+    :func:`emit_table_triples_single_pass`)."""
     conv_spec = po.tables["conversation"]
     turn_spec = po.tables["turn"]
     conversations = turns.select("conv_id").dropDuplicates(["conv_id"])
-    conv_triples = emit_table_triples(conversations, conv_spec, po)
-    turn_triples = emit_table_triples(turns, turn_spec, po)
+    conv_triples = emit_table_triples_single_pass(conversations, conv_spec, po)
+    turn_triples = emit_table_triples_single_pass(turns, turn_spec, po)
     return conv_triples.unionByName(turn_triples)
 
 

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -20,11 +19,11 @@ from pyspark.sql import functions as F
 from ..config import BASE_PREFIX, RDF_TYPE, EngineConfig
 from ..functions import naming
 from ..operators.canonicalize import canonical_mapping
-from ..operators.matching import blocking_pairs, near_duplicate_edges
+from ..operators.matching import compute_match_edges
 from ..operators.mentions import distinct_surfaces, extract_mentions
 from ..operators.po_extraction import transcript_po
 from ..operators.skew import join_small_dim
-from ..operators.triples import _triple, emit_transcript_triples
+from ..operators.triples import emit_transcript_triples
 from ..sources.transcripts import ingest
 from .manifest import Manifest
 
@@ -38,25 +37,39 @@ class PipelineResult:
     stats: dict
 
 
-def mention_triples(mentions_canon: DataFrame) -> DataFrame:
-    """Mention + entity triples. Input columns: conv_id, turn_idx, mention,
-    kind, pos, canonical. URIs are pure functions of the natural keys."""
+def mention_triples(mentions_canon: DataFrame, canonical: DataFrame) -> DataFrame:
+    """Mention + entity triples. ``mentions_canon`` columns: conv_id,
+    turn_idx, mention, kind, pos, canonical; ``canonical`` is the
+    vocabulary-sized (mention, canonical) map. URIs are pure functions of the
+    natural keys. Per-mention triples emit in ONE scan (array-of-structs +
+    explode); the two per-entity triples come from the tiny canonical dim."""
+    from ..operators.triples import _triple_struct
+
     turn = F.concat_ws("_", F.lit(f"{BASE_PREFIX}Turn_2"), F.col("conv_id"), F.col("turn_idx").cast("string"))
     m_uri = F.concat_ws(
         "_", F.lit(f"{BASE_PREFIX}Mention_3"), F.col("conv_id"),
         F.col("turn_idx").cast("string"), F.col("kind"), F.col("pos").cast("string"),
     )
     e_uri = F.concat(F.lit(f"{BASE_PREFIX}Entity_"), naming.valid_name_col(F.col("canonical")))
-    df = mentions_canon
-    pieces = [
-        df.select(*_triple(turn, "has_mention", m_uri, None, False)),
-        df.select(*_triple(m_uri, RDF_TYPE, class_uri_lit("Mention"), None, False)),
-        df.select(*_triple(m_uri, "has_surface_VALUE", F.col("mention"), "xsd:string", True)),
-        df.select(*_triple(m_uri, "p_Mention_Entity", e_uri, None, False)),
-        df.select(*_triple(e_uri, RDF_TYPE, class_uri_lit("Entity"), None, False)).dropDuplicates(),
-        df.select(*_triple(e_uri, "has_label_VALUE", F.col("canonical"), "xsd:string", True)).dropDuplicates(),
-    ]
-    return reduce(lambda a, b: a.unionByName(b), pieces)
+    per_mention = mentions_canon.select(
+        F.explode(
+            F.array(
+                _triple_struct(turn, "has_mention", m_uri, None, False),
+                _triple_struct(m_uri, RDF_TYPE, class_uri_lit("Mention"), None, False),
+                _triple_struct(m_uri, "has_surface_VALUE", F.col("mention"), "xsd:string", True),
+                _triple_struct(m_uri, "p_Mention_Entity", e_uri, None, False),
+            )
+        ).alias("t")
+    ).select("t.subj", "t.pred", "t.obj", "t.obj_dtype", "t.is_literal")
+    per_entity = canonical.select("canonical").dropDuplicates().select(
+        F.explode(
+            F.array(
+                _triple_struct(e_uri, RDF_TYPE, class_uri_lit("Entity"), None, False),
+                _triple_struct(e_uri, "has_label_VALUE", F.col("canonical"), "xsd:string", True),
+            )
+        ).alias("t")
+    ).select("t.subj", "t.pred", "t.obj", "t.obj_dtype", "t.is_literal")
+    return per_mention.unionByName(per_entity)
 
 
 def class_uri_lit(name: str):
@@ -84,18 +97,36 @@ def build_kg_triples(
     entity triples. Used by ``__spark_entry__.entry`` and ad-hoc callers; the
     manifest/resume path is :func:`run_pipeline`."""
     cfg = cfg or EngineConfig()
-    turns = ingest(turns_raw, cfg.shuffle_partitions)
+    # no repartition here: every op below is per-row, so a conv_id shuffle
+    # before the 15× explode only lets AQE coalesce away parallelism
+    # (BENCH/BASELINE.md). Grouped per-conversation stages repartition
+    # themselves when they need co-location.
+    turns = ingest(turns_raw, None)
     po = transcript_po()
     mentions = extract_mentions(turns)
-    surfaces = distinct_surfaces(mentions).select("mention")
-    edges = near_duplicate_edges(blocking_pairs(surfaces, cfg.match))
-    canonical = canonical_mapping(surfaces, edges, cfg)
+    # the vocabulary-scale intermediates (distinct surfaces, match edges,
+    # canonical map) are materialized once — without this every downstream
+    # branch re-executes the whole matching DAG (distinct+blocking+UDF+CC).
+    surfaces = (
+        distinct_surfaces(mentions).select("mention").localCheckpoint(eager=True)
+    )
+    n_surfaces = surfaces.count()  # cheap: surfaces is materialized
+    edges = compute_match_edges(
+        surfaces, cfg.match, n_surfaces=n_surfaces,
+        vocab_driver_threshold=cfg.vocab_driver_threshold,
+    )
+    canonical = canonical_mapping(
+        surfaces, edges, cfg, n_surfaces=n_surfaces
+    ).localCheckpoint(eager=True)
     m_canon = join_small_dim(
         mentions, canonical.select("mention", "canonical"), "mention",
         salt_buckets=cfg.match.salt_buckets,
         salt_from=["conv_id", "turn_idx", "pos"],
+        dim_count=n_surfaces,  # one canonical row per distinct surface
     )
-    return emit_transcript_triples(turns, po).unionByName(mention_triples(m_canon))
+    return emit_transcript_triples(turns, po).unionByName(
+        mention_triples(m_canon, canonical)
+    )
 
 
 def run_pipeline(
@@ -147,8 +178,9 @@ def run_pipeline(
     )
     edges, fp_edges = stage(
         "match_edges", fp_mentions,
-        lambda: near_duplicate_edges(
-            blocking_pairs(distinct_surfaces(mentions).select("mention"), cfg.match)
+        lambda: compute_match_edges(
+            distinct_surfaces(mentions).select("mention"), cfg.match,
+            vocab_driver_threshold=cfg.vocab_driver_threshold,
         ),
     )
     canonical, fp_canon = stage(
@@ -163,7 +195,7 @@ def run_pipeline(
             salt_buckets=cfg.match.salt_buckets,
             salt_from=["conv_id", "turn_idx", "pos"],
         )
-        all_triples = structural.unionByName(mention_triples(m_canon))
+        all_triples = structural.unionByName(mention_triples(m_canon, canonical))
         return all_triples.withColumn(
             "subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(cfg.shuffle_partitions))
         ).repartition(cfg.shuffle_partitions, "subj_bucket")

@@ -8,6 +8,7 @@ matching/canonicalization joins have head-entity skew by construction.
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
 
@@ -37,7 +38,26 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput GC: G1 collapses (observed 17×) on generate-heavy plans
+        # (explode of array<struct> — our single-pass triple emission) with a
+        # large heap and many task threads; ParallelGC sustains the
+        # allocation rate. On a real cluster apply to executors too.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # zstd: half the bytes of snappy on long repetitive URI strings at
+        # equal wall time (BENCH/BASELINE.md) — at 100 TB the triples table
+        # size is the cost driver.
+        .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    # shuffle spill dir: tmpfs when available — on this sandbox /tmp is a
+    # spinning-ish vdisk whose writeback throttling dominates and distorts
+    # measurements; on a real cluster spark.local.dir is node-local NVMe.
+    if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
+        builder = builder.config("spark.local.dir", os.environ["SPARK_GRAFT_LOCAL_DIR"])
+    elif os.path.isdir("/dev/shm"):
+        builder = builder.config(
+            "spark.local.dir", tempfile.mkdtemp(prefix="spark-local-", dir="/dev/shm")
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

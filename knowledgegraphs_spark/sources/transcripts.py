@@ -98,6 +98,61 @@ def synthesize_transcripts(
     return df
 
 
+def synthesize_transcripts_distributed(
+    spark: SparkSession,
+    n_conversations: int,
+    avg_turns: int = 10,
+    n_partitions: int = 64,
+) -> DataFrame:
+    """Fully JVM-side synthetic transcripts for benchmarks: ``spark.range``
+    + deterministic hash arithmetic, no driver-side row materialization.
+    Scales to any corpus size (this is how the 10^12-turn input would be
+    mocked on a cluster). Same FIXTURES.md §1 shape: near-dup surfaces, null
+    sentinels, 80 %-head-skewed tool column."""
+    conv = spark.range(n_conversations).select(
+        F.format_string("conv_%08d", F.col("id")).alias("conv_id"),
+        F.col("id").alias("cid"),
+        (4 + F.pmod(F.xxhash64("id"), F.lit(avg_turns * 2 - 7))).cast("int").alias("n_turns"),
+    )
+    turns = conv.select(
+        "conv_id", "cid",
+        F.explode(F.sequence(F.lit(0), F.col("n_turns") - 1)).alias("turn_idx"),
+    )
+    h = F.xxhash64("cid", "turn_idx")
+    role = F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")), F.col("turn_idx") % 3 + 1)
+    surface = F.element_at(F.array(*[F.lit(s) for s in ENTITY_SURFACES]), F.pmod(h, F.lit(len(ENTITY_SURFACES))).cast("int") + 1)
+    template = F.pmod(h, F.lit(len(_TEMPLATES))).cast("int")
+    abbrev = F.element_at(F.array(*[F.lit(a) for a in ABBREVS]), F.pmod(h, F.lit(len(ABBREVS))).cast("int") + 1)
+    sentinel = F.element_at(F.array(*[F.lit(x) for x in NULLISH]), F.pmod(h, F.lit(len(NULLISH))).cast("int") + 1)
+    prefix = F.coalesce(
+        *[F.when(template == i, F.lit(t.split("{e}")[0])) for i, t in enumerate(_TEMPLATES)]
+    )
+    suffix = F.coalesce(
+        *[
+            F.when(template == i, F.lit(t.split("{e}")[1].replace("{a}", "\x00")))
+            for i, t in enumerate(_TEMPLATES)
+        ]
+    )
+    body = F.replace(F.concat(prefix, surface, suffix), F.lit("\x00"), abbrev)
+    text = F.when(F.pmod(h, F.lit(100)) < 3, sentinel).otherwise(body)
+    tool = F.when(
+        role == "tool",
+        F.element_at(F.array(*[F.lit(t) for t in TOOLS]), F.pmod(h, F.lit(len(TOOLS))).cast("int") + 1),
+    ).otherwise(F.lit(None).cast("string"))
+    base_ts = F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+    return (
+        turns.select(
+            "conv_id",
+            F.col("turn_idx").cast("int").alias("turn_idx"),
+            role.alias("role"),
+            text.alias("text"),
+            tool.alias("tool"),
+            (base_ts + F.make_interval(mins=F.col("cid") % 1440, secs=F.col("turn_idx") * 17)).alias("ts"),
+        )
+        .repartition(n_partitions, "conv_id")
+    )
+
+
 def transcripts_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a transcript table from ``documents.parquet`` — a pure function
     of the input (sentence split → cycling roles), fully JVM-side."""

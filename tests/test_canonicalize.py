@@ -1,9 +1,17 @@
 """Connected components + canonical pick vs the union-find oracle
 (FIXTURES.md §5: chains needing ≥3 iterations, a high-degree hub, ties)."""
 
+import pytest
+
+from knowledgegraphs_spark.config import EngineConfig
 from knowledgegraphs_spark.operators.canonicalize import canonical_mapping, connected_components
 
 from tests.oracle_kg import expected_components
+
+# threshold 0 forces the distributed large-star/small-star path; the default
+# takes the driver union-find fast path — results must be identical.
+DRIVER_CFG = EngineConfig()
+DISTRIBUTED_CFG = EngineConfig(cc_driver_threshold=0, vocab_driver_threshold=0)
 
 
 def _groups(mapping: dict[str, str]) -> set[frozenset]:
@@ -13,7 +21,8 @@ def _groups(mapping: dict[str, str]) -> set[frozenset]:
     return {frozenset(g) for g in inv.values()}
 
 
-def test_cc_long_chain_and_hub(spark):
+@pytest.mark.parametrize("cfg", [DRIVER_CFG, DISTRIBUTED_CFG], ids=["driver", "distributed"])
+def test_cc_long_chain_and_hub(spark, cfg):
     # chain of 12 (forces multiple star rounds), hub with 30 spokes, and an
     # isolated pair
     chain = [(f"c{i:02d}", f"c{i + 1:02d}") for i in range(12)]
@@ -24,7 +33,7 @@ def test_cc_long_chain_and_hub(spark):
 
     sdf = spark.createDataFrame([(s,) for s in surfaces], "mention string")
     edf = spark.createDataFrame(edges, "src string, tgt string")
-    got = {r.mention: r.canonical for r in canonical_mapping(sdf, edf).collect()}
+    got = {r.mention: r.canonical for r in canonical_mapping(sdf, edf, cfg).collect()}
 
     oracle = expected_components(edges)
     assert _groups(got) == _groups(oracle)
@@ -39,7 +48,8 @@ def test_cc_isolated_nodes_self_map(spark):
     assert got["a"] == got["b"] == "a"
 
 
-def test_cc_numeric_component_ids(spark):
+@pytest.mark.parametrize("cfg", [DRIVER_CFG, DISTRIBUTED_CFG], ids=["driver", "distributed"])
+def test_cc_numeric_component_ids(spark, cfg):
     e = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
-    got = {r.node: r.component for r in connected_components(e).collect()}
+    got = {r.node: r.component for r in connected_components(e, cfg).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}

@@ -43,6 +43,20 @@ def test_blocking_covers_oracle_near_dup_pairs(spark):
     assert not missing, f"blocking lost near-dup pairs: {missing}"
 
 
+def test_match_edge_paths_agree(spark):
+    """Driver (in-memory) and distributed match-edge computation must emit
+    the same edge set."""
+    from knowledgegraphs_spark.operators.matching import compute_match_edges
+
+    sdf = _sdf(spark)
+    driver = {(r.src, r.tgt) for r in compute_match_edges(sdf).collect()}
+    dist = {
+        (r.src, r.tgt)
+        for r in compute_match_edges(sdf, vocab_driver_threshold=0).collect()
+    }
+    assert driver == dist
+
+
 def test_canonical_groups_match_oracle(spark):
     sdf = _sdf(spark)
     edges = near_duplicate_edges(blocking_pairs(sdf))
