@@ -211,6 +211,206 @@ def q_anti_join_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(regexp_split_to_array(lower(trim(regexp_replace(text,'\\s+',' ','g'))), ' '), x -> x <> '')"
+_RAW_TOKS_SQL = "list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')"
+_SHINGLES_SQL = (
+    "list_transform(generate_series(1, greatest(len({toks})-2,0)),"
+    " i -> {toks}[i]||' '||{toks}[i+1]||' '||{toks}[i+2])"
+).format(toks="toks")
+
+
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: token count, punct/stopword ratios, quality score,
+    language ID, md5 fingerprint — one projection."""
+    from knowledgegraphs_spark.operators.text_analysis import text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_profile(docs.select("doc_id", "text")).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality", "lang_id", "fingerprint"
+    )
+
+
+_TEXT_PROFILE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         {_RAW_TOKS_SQL} AS rtoks,
+         list_transform({_RAW_TOKS_SQL}, x -> lower(x)) AS ltoks
+  FROM documents
+), m AS (
+  SELECT doc_id, text, len(rtoks) AS n_tokens,
+    CASE WHEN length(text) > 0
+         THEN CAST(length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')) AS DOUBLE)/length(text)
+         ELSE 0.0 END AS pr,
+    CASE WHEN len(ltoks) > 0
+         THEN CAST(len(list_filter(ltoks, x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS DOUBLE)/len(ltoks)
+         ELSE 0.0 END AS sr,
+    len(list_filter(ltoks, x -> list_contains(['the','and','of','is'], x))) AS c_en,
+    len(list_filter(ltoks, x -> list_contains(['der','und','das','ist'], x))) AS c_de,
+    len(list_filter(ltoks, x -> list_contains(['le','et','les','est'], x))) AS c_fr,
+    len(list_filter(ltoks, x -> list_contains(['el','y','los','es'], x))) AS c_es
+  FROM base
+)
+SELECT doc_id, n_tokens,
+  round(pr, 6) AS punct_ratio,
+  round(sr, 6) AS stopword_ratio,
+  round((least(n_tokens/20.0, 1.0) + least(sr*4.0, 1.0) + greatest(0.0, 1.0 - pr*5.0))/3.0, 6) AS quality,
+  CASE WHEN c_en > 0 AND c_en = greatest(c_en,c_de,c_fr,c_es) THEN 'en'
+       WHEN c_de > 0 AND c_de = greatest(c_en,c_de,c_fr,c_es) THEN 'de'
+       WHEN c_fr > 0 AND c_fr = greatest(c_en,c_de,c_fr,c_es) THEN 'fr'
+       WHEN c_es > 0 AND c_es = greatest(c_en,c_de,c_fr,c_es) THEN 'es'
+       ELSE 'und' END AS lang_id,
+  md5(lower(trim(regexp_replace(text,'\\s+',' ','g')))) AS fingerprint
+FROM m
+""".strip()
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: every doc mapped to the canonical (min) id of its
+    normalized-text fingerprint group."""
+    from knowledgegraphs_spark.operators.text_analysis import fingerprint
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fingerprint")
+    )
+    w = W.partitionBy("fingerprint")
+    return docs.withColumn("canonical_id", F.min("doc_id").over(w)).select(
+        "doc_id", "fingerprint", "canonical_id"
+    )
+
+
+_DEDUP_EXACT_SQL = """
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text,'\\s+',' ','g')))) AS fingerprint,
+       min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))) AS canonical_id
+FROM documents
+""".strip()
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs (k=16, 4 bands of 4)."""
+    from knowledgegraphs_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return minhash_lsh_candidates(docs, k=16, bands=4, n=3)
+
+
+def _minhash_sql(k: int = 16, bands: int = 4) -> str:
+    rows = k // bands
+    mh = ", ".join(
+        f"list_min(list_transform(sh, s -> md5('{i}|' || s))) AS mh{i}" for i in range(k)
+    )
+    band_keys = ", ".join(
+        "md5(" + " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows)) + f") AS key{b}"
+        for b in range(bands)
+    )
+    key_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, key{b} AS key FROM keys WHERE key{b} IS NOT NULL"
+        for b in range(bands)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), sh_t AS (
+  SELECT doc_id, {_SHINGLES_SQL} AS sh FROM base
+), mh AS (
+  SELECT doc_id, {mh} FROM sh_t WHERE len(sh) > 0
+), keys AS (
+  SELECT doc_id, {band_keys} FROM mh
+), banded AS ({key_union})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+""".strip()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs (threshold 0.2, shingle-blocked)."""
+    from knowledgegraphs_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_df=100)
+
+
+_JACCARD_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS shingle FROM base
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh
+  JOIN (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle HAVING count(*) BETWEEN 2 AND 100) d
+  USING (shingle)
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       round(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0.2
+""".strip()
+
+
+def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 vectors as queries."""
+    from knowledgegraphs_spark.operators.simsearch import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+_SIMSEARCH_SQL = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+    round(
+      list_sum(list_transform(generate_series(1, len(q.embedding)),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS int) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+""".strip()
+
+
+def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (pandas-UDF buckets; rows-only check,
+    recall vs brute force asserted in pytest)."""
+    from knowledgegraphs_spark.operators.simsearch import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_bits=4, rotations=6)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bucket candidates (pandas UDF; rows-only check)."""
+    from knowledgegraphs_spark.operators.dedup import simhash_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return simhash_candidates(docs)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: synthesize payloads, extract features via the
+    deterministic fake codec (rows-only check + pytest)."""
+    from knowledgegraphs_spark.operators.multimodal import extract_features, synthesize_media
+
+    docs = _t(spark, sf_dir, "documents")
+    return extract_features(synthesize_media(docs), use_fake_codec=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_structural": q_kg_triples_structural,
@@ -220,6 +420,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_orders_per_customer": q_topk_orders_per_customer,
         "j1_fk_join_customer_nation": q_fk_join_customer_nation,
         "j2_anti_join_containment": q_anti_join_containment,
+        "t1_text_profile": q_text_profile,
+        "d1_dedup_exact": q_dedup_exact,
+        "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "d3_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "d4_dedup_simhash": q_dedup_simhash,
+        "s1_simsearch_topk": q_simsearch_topk,
+        "s2_simsearch_lsh": q_simsearch_lsh,
+        "m1_multimodal_features": q_multimodal_features,
     }
 
 
@@ -257,6 +465,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
+        "t1_text_profile": _TEXT_PROFILE_SQL,
+        "d1_dedup_exact": _DEDUP_EXACT_SQL,
+        "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
+        "d3_dedup_ngram_jaccard": _JACCARD_SQL,
+        "s1_simsearch_topk": _SIMSEARCH_SQL,
+        # d4_dedup_simhash, s2_simsearch_lsh, m1_multimodal_features: pandas-
+        # UDF paths, not SQL-expressible → rows-only driver check + pytest.
     }
 
 

@@ -1,0 +1,182 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash groupBy), MinHash+LSH (shingle → k md5-salted min-hashes → band
+→ bucket join), word-n-gram Jaccard (shingle-explode join), and SimHash
+(vectorized pandas UDF). MinHash/Jaccard/exact use md5 everywhere so the
+DuckDB oracles compute bit-identical values; SimHash is the Arrow-UDF path
+(rows-only driver check, pytest-verified against a pure-Python twin).
+
+Scale notes: the shingle join prunes shingles with document frequency above
+``max_shingle_df`` (head shingles produce quadratic candidate blow-up —
+same meta-blocking practice as the mention matcher); LSH replaces the
+all-pairs join with b bucket joins, each skew-safe under AQE.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .text_analysis import fingerprint, shingles
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) documents:
+    (fingerprint, n_docs, canonical_id = min id, doc_ids sorted)."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_id"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def minhash_signature(text_col: str, k: int = 16, n: int = 3):
+    """k-permutation MinHash signature as an array of md5 strings: the i-th
+    hash is min(md5(i || '|' || shingle)). Salted md5 = k independent hash
+    families, identical in any engine."""
+    sh = shingles(F.col(text_col), n)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
+
+    k hashes split into ``bands`` bands of k/bands rows; band key =
+    md5(concat of the band's hashes). Docs sharing a band key collide.
+    One shuffle per plan (explode band keys → self-join on key)."""
+    rows = k // bands
+    sig = minhash_signature(text_col, k, n)
+    banded = docs.select(
+        F.col(id_col).alias("doc_id"), sig.alias("sig")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(F.concat_ws("|", *[F.element_at(F.col("sig"), b * rows + r + 1) for r in range(rows)])).alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key").filter(F.col("key").isNotNull())
+    a = banded.select(F.col("doc_id").alias("id_a"), "band", "key")
+    b = banded.select(F.col("doc_id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 100,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over shingle-blocked pairs:
+    (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    |A∩B| from the shingle join, |A|/|B| from per-doc distinct counts;
+    shingles with df > max_shingle_df are pruned from the JOIN only (they
+    still count toward |A|, so Jaccard stays exact for pairs that share at
+    least one rare shingle)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    ).dropDuplicates(["doc_id", "shingle"])
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = sh.join(
+        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            (F.col("df") >= 2) & (F.col("df") <= max_shingle_df)
+        ),
+        "shingle",
+    ).select("doc_id", "shingle")
+    a = rare.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = rare.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --- SimHash (pandas-UDF path) ----------------------------------------------
+
+
+def simhash64_python(text: str) -> int:
+    """64-bit SimHash over whitespace tokens, md5-based bit hashes."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in (text or "").lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+@F.pandas_udf(T.LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    return pd.Series([simhash64_python(t) for t in texts])
+
+
+def simhash_candidates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+) -> DataFrame:
+    """Candidate near-dup pairs whose SimHashes share the top ``prefix_bits``
+    (one rotation — production would union several rotations)."""
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("simhash")
+    ).withColumn("bucket", F.shiftright("simhash", 64 - prefix_bits))
+    a = hashed.select(F.col("doc_id").alias("id_a"), "bucket", F.col("simhash").alias("sh_a"))
+    b = hashed.select(F.col("doc_id").alias("id_b"), "bucket", F.col("simhash").alias("sh_b"))
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming_distance"))

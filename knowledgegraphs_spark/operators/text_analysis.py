@@ -1,0 +1,117 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language ID, quality scoring, token counting, document fingerprinting.
+
+All pure Catalyst column expressions (JVM-side, codegen'd, no Python) and
+all expressible in ANSI SQL — every op here has a DuckDB oracle in
+``__spark_entry__``. Fingerprints use md5 (identical across engines), not
+engine-specific hash functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"]
+
+# marker words per language for the n-gram/stopword language-ID heuristic
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is"],
+    "de": ["der", "und", "das", "ist"],
+    "fr": ["le", "et", "les", "est"],
+    "es": ["el", "y", "los", "es"],
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Non-empty whitespace-delimited tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither word chars nor whitespace."""
+    stripped = F.regexp_replace(text, r"[^\w\s]", "")
+    return F.when(
+        F.length(text) > 0,
+        (F.length(text) - F.length(stripped)) / F.length(text),
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: rewards reasonable length and stopword
+    presence, penalizes punctuation soup. Deterministic, SQL-expressible."""
+    n_tok = token_count(text)
+    len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text) * 4.0, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5.0)
+    return F.round((len_score + stop_score + punct_penalty) / 3.0, 6)
+
+
+def language_id(text: Column) -> Column:
+    """Argmax of per-language marker-token counts; 'und' (undetermined) when
+    all zero. Ties break in the fixed language order."""
+    toks = F.transform(tokens_col(text), lambda t: F.lower(t))
+    counts = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = F.greatest(*counts.values())
+    result = F.lit("und")
+    # reversed so the first language wins ties via the last when() applied
+    for lang in reversed(list(LANG_MARKERS)):
+        result = F.when((counts[lang] > 0) & (counts[lang] == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def normalize_text(text: Column) -> Column:
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Whole-document fingerprint: md5 of whitespace-normalized lowercase
+    text (md5 so the DuckDB oracle computes the identical value)."""
+    return F.md5(normalize_text(text))
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text (empty array when the
+    document has fewer than n tokens)."""
+    toks = tokens_col(normalize_text(text))
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
+    """Rolling-hash-style fingerprint: min md5 over word n-gram shingles —
+    robust to local edits (the 1-permutation MinHash)."""
+    return F.array_min(F.transform(shingles(text, n), F.md5))
+
+
+def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-pass profile: all analysis columns in a single projection."""
+    t = F.col(text_col)
+    return docs.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        language_id(t).alias("lang_id"),
+        fingerprint(t).alias("fingerprint"),
+    )
