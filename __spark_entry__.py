@@ -411,6 +411,248 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(synthesize_media(docs), use_fake_codec=True)
 
 
+# ---------------------------------------------------------------------------
+# S5: vote-based column type inference over a deterministically derived
+# string table (exercises the int/double/bool/date/varchar/mixed paths)
+# ---------------------------------------------------------------------------
+
+_S5_DERIVED_COLS: dict[str, tuple[str, str]] = {
+    # name -> (Spark SQL expr, DuckDB SQL expr) over the documents table
+    "c_int": (
+        "CASE WHEN doc_id % 17 = 0 THEN '-' ELSE cast(doc_id AS string) END",
+        "CASE WHEN doc_id % 17 = 0 THEN '-' ELSE cast(doc_id AS varchar) END",
+    ),
+    "c_dbl": (
+        "cast(doc_id AS string) || ',5'",
+        "cast(doc_id AS varchar) || ',5'",
+    ),
+    "c_bool": ("cast(doc_id % 2 AS string)", "cast(doc_id % 2 AS varchar)"),
+    "c_date": (
+        "cast(1950 + doc_id % 100 AS string) || '-' || cast(doc_id % 12 + 1 AS string)"
+        " || '-' || cast(doc_id % 28 + 1 AS string)",
+        "cast(1950 + doc_id % 100 AS varchar) || '-' || cast(doc_id % 12 + 1 AS varchar)"
+        " || '-' || cast(doc_id % 28 + 1 AS varchar)",
+    ),
+    "c_text": ("source", "source"),
+    "c_mixed": (
+        "CASE WHEN doc_id % 3 = 0 THEN cast(1950 + doc_id % 100 AS string) ELSE source END",
+        "CASE WHEN doc_id % 3 = 0 THEN cast(1950 + doc_id % 100 AS varchar) ELSE source END",
+    ),
+}
+
+
+def q_type_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: one-pass vote-based type inference; returns (col_name, inferred_type)."""
+    from knowledgegraphs_spark.sources.tabular import infer_column_types
+
+    docs = _t(spark, sf_dir, "documents")
+    derived = docs.selectExpr(
+        *[f"{expr} AS {name}" for name, (expr, _) in _S5_DERIVED_COLS.items()]
+    )
+    types = infer_column_types(derived)
+    return spark.createDataFrame(
+        sorted(types.items()), "col_name: string, inferred_type: string"
+    )
+
+
+def _duck_vote_sql() -> str:
+    """DuckDB twin of the S5 decision tree, generated per derived column."""
+    sents = NULL_SENTINELS_SQL
+
+    def date_ok(v: str) -> str:
+        def grp(rx: str, i: int) -> str:
+            return f"try_cast(regexp_extract({v}, '{rx}', {i}) AS INT)"
+
+        p1 = r"^(\d{4})[./-](\d{1,2})$"
+        p2 = r"^(\d{1,2})[./-](\d{4})$"
+        p3 = r"^(\d{4})$"
+        p4 = r"^(\d{4})[./-](\d{1,2})[./-](\d{1,2})$"
+        p5 = r"^(\d{1,2})[./-](\d{1,2})[./-](\d{4})$"
+        return (
+            f"((regexp_matches({v}, '{p1}') AND {grp(p1,1)} BETWEEN 1900 AND 2200 AND {grp(p1,2)} BETWEEN 1 AND 12)"
+            f" OR (regexp_matches({v}, '{p2}') AND {grp(p2,2)} BETWEEN 1900 AND 2200 AND {grp(p2,1)} BETWEEN 1 AND 12)"
+            f" OR (regexp_matches({v}, '{p3}') AND {grp(p3,1)} BETWEEN 1900 AND 2500)"
+            f" OR (regexp_matches({v}, '{p4}') AND {grp(p4,1)} BETWEEN 1900 AND 2500 AND"
+            f"     (({grp(p4,2)} BETWEEN 1 AND 12 AND {grp(p4,3)} BETWEEN 1 AND 31)"
+            f"      OR ({grp(p4,3)} BETWEEN 1 AND 12 AND {grp(p4,2)} BETWEEN 1 AND 31)))"
+            f" OR (regexp_matches({v}, '{p5}') AND {grp(p5,3)} BETWEEN 1900 AND 2500 AND"
+            f"     (({grp(p5,1)} BETWEEN 1 AND 12 AND {grp(p5,2)} BETWEEN 1 AND 31)"
+            f"      OR ({grp(p5,2)} BETWEEN 1 AND 12 AND {grp(p5,1)} BETWEEN 1 AND 31))))"
+        )
+
+    selects = []
+    for name, (_, duck_expr) in _S5_DERIVED_COLS.items():
+        v = "v"
+        sent = f"({v} IS NULL OR lower(trim({v})) IN {sents})"
+        isint = (
+            f"(regexp_matches({v}, '^[+-]?[0-9]+$')"
+            f" AND try_cast({v} AS BIGINT) BETWEEN -2147483648 AND 2147483647)"
+        )
+        isdbl = (
+            f"regexp_matches(replace({v}, ',', '.'),"
+            " '^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)(e[+-]?[0-9]+)?[fd]?$')"
+        )
+        dok = date_ok(v)
+        selects.append(
+            f"""
+SELECT '{name}' AS col_name,
+  CASE
+    WHEN count(CASE WHEN NOT {sent} AND {v} NOT IN ('0','1','true','false') THEN 1 END) = 0
+         AND count(DISTINCT CASE WHEN NOT {sent} THEN {v} END) IN (1, 2)
+         AND (count(DISTINCT CASE WHEN NOT {sent} THEN {v} END) = 1
+              OR (bool_or(NOT {sent} AND {v} IN ('0','false')) AND bool_or(NOT {sent} AND {v} IN ('1','true'))))
+      THEN 'boolean'
+    WHEN count(CASE WHEN {sent} OR {dok} THEN 1 END) = count(*)
+         AND count(CASE WHEN NOT {sent} AND {dok} THEN 1 END) > 0
+      THEN 'timestamp'
+    WHEN count(CASE WHEN NOT {sent} AND {dok} THEN 1 END) > 0
+         AND count(CASE WHEN {sent} OR {dok} THEN 1 END) > count(CASE WHEN NOT {sent} AND NOT {dok} AND {isint} THEN 1 END)
+         AND count(CASE WHEN {sent} OR {dok} THEN 1 END) > count(CASE WHEN NOT {sent} AND NOT {dok} AND NOT {isint} AND {isdbl} THEN 1 END)
+      THEN 'varchar'
+    WHEN count(CASE WHEN NOT {sent} AND NOT {dok} AND NOT {isint} AND {isdbl} THEN 1 END) > 0
+      THEN CASE WHEN count(CASE WHEN NOT {sent} AND NOT {isint} AND NOT {isdbl} THEN 1 END) = 0
+                THEN 'double' ELSE 'varchar' END
+    ELSE CASE WHEN count(CASE WHEN NOT {sent} AND NOT {isint} THEN 1 END) = 0
+              THEN 'int' ELSE 'varchar' END
+  END AS inferred_type
+FROM (SELECT lower({duck_expr}) AS v FROM documents)
+""".strip()
+        )
+    return "\nUNION ALL\n".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# J3: FK inference over prefix-stripped TPC-H key columns
+# ---------------------------------------------------------------------------
+
+_J3_SPECS: dict[str, dict[str, str]] = {
+    # ordered — last same-named candidate key wins, as in the reference
+    "region": {"r_regionkey": "regionkey"},
+    "nation": {"n_nationkey": "nationkey", "n_regionkey": "regionkey"},
+    "customer": {"c_custkey": "custkey", "c_nationkey": "nationkey"},
+    "supplier": {"s_suppkey": "suppkey", "s_nationkey": "nationkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {"l_orderkey": "orderkey", "l_partkey": "partkey", "l_suppkey": "suppkey"},
+}
+
+
+def q_fk_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: candidate keys + same-name containment → inferred FK edges."""
+    from knowledgegraphs_spark.operators.schema_inference import infer_foreign_keys
+
+    tables = {
+        t: _t(spark, sf_dir, t).select(*[F.col(o).alias(s) for o, s in m.items()])
+        for t, m in _J3_SPECS.items()
+    }
+    fks = infer_foreign_keys(tables)
+    rows = sorted((f.src_table, f.src_column, f.ref_table, f.ref_column) for f in fks)
+    return spark.createDataFrame(
+        rows, "src_table: string, src_column: string, ref_table: string, ref_column: string"
+    )
+
+
+def _duck_fk_sql() -> str:
+    ck_rows, cont_rows = [], []
+    owners: dict[str, list[tuple[str, str]]] = {}
+    for ord_, (t, m) in enumerate(_J3_SPECS.items()):
+        for orig, stripped in m.items():
+            owners.setdefault(stripped, []).append((t, orig))
+            ck_rows.append(
+                f"SELECT '{t}' AS tbl, '{stripped}' AS col, {ord_} AS ord, "
+                f"(count(DISTINCT {orig}) + max(CASE WHEN {orig} IS NULL THEN 1 ELSE 0 END)) = count(*) AS is_ck "
+                f"FROM {t}"
+            )
+    for col, tabs in owners.items():
+        for st, sc in tabs:
+            for rt, rc in tabs:
+                if st == rt:
+                    continue
+                cont_rows.append(
+                    f"SELECT '{st}' AS src, '{col}' AS col, '{rt}' AS ref, "
+                    f"NOT EXISTS (SELECT 1 FROM {st} s WHERE s.{sc} IS NOT NULL AND "
+                    f"NOT EXISTS (SELECT 1 FROM {rt} r WHERE r.{rc} = s.{sc})) AS contained"
+                )
+    return f"""
+WITH ck AS ({' UNION ALL '.join(ck_rows)}),
+pick AS (SELECT col, max_by(tbl, ord) AS ref_tbl FROM ck WHERE is_ck GROUP BY col),
+cont AS ({' UNION ALL '.join(cont_rows)})
+SELECT c.src AS src_table, c.col AS src_column, p.ref_tbl AS ref_table, c.col AS ref_column
+FROM cont c JOIN pick p ON c.col = p.col AND c.ref = p.ref_tbl
+WHERE c.contained AND c.src <> p.ref_tbl
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# S9/A6: hierarchical JSON → KG triples (single-expression, zero-shuffle)
+# ---------------------------------------------------------------------------
+
+
+def q_json_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON tree flatten + record-scoped class counters + triple emission
+    over a nested JSON corpus deterministically derived from events."""
+    from pyspark.sql import types as T
+
+    from knowledgegraphs_spark.sources.json_source import emit_json_triples
+
+    ev = _t(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"event": {"etype": "'),
+        F.when(F.col("event_id") % 11 == 0, F.lit("none")).otherwise(F.col("event_type")),
+        F.lit('", "props": '),
+        F.col("props"),
+        F.lit(', "marks": [{"m": '),
+        (F.col("event_id") % 3).cast("string"),
+        F.lit('}, {"m": '),
+        (F.col("event_id") % 5).cast("string"),
+        F.lit("}]}}"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField(
+                "event",
+                T.StructType(
+                    [
+                        T.StructField("etype", T.StringType()),
+                        T.StructField(
+                            "props", T.StructType([T.StructField("k", T.IntegerType())])
+                        ),
+                        T.StructField(
+                            "marks",
+                            T.ArrayType(T.StructType([T.StructField("m", T.IntegerType())])),
+                        ),
+                    ]
+                ),
+            )
+        ]
+    )
+    return emit_json_triples(ev.select("event_id", j.alias("j")), "event_id", "j", schema)
+
+
+_JSON_KG_SQL = f"""
+WITH base AS (
+  SELECT 'event' || cast(event_id AS varchar) AS root,
+         CASE WHEN event_id % 11 = 0 THEN 'none' ELSE event_type END AS etype,
+         cast(json_extract(props, '$.k') AS INT) AS k,
+         cast(event_id % 3 AS varchar) AS m0,
+         cast(event_id % 5 AS varchar) AS m1
+  FROM events
+)
+SELECT root AS subj, 'rdf:type' AS pred, 'kg:event' AS obj, cast(NULL AS varchar) AS obj_dtype, false AS is_literal FROM base
+UNION ALL SELECT root, 'has_etype', etype, 'xsd:string', true FROM base
+  WHERE NOT (etype IS NULL OR lower(trim(etype)) IN {NULL_SENTINELS_SQL})
+UNION ALL SELECT root, 'has_props', root || '_props0', NULL, false FROM base
+UNION ALL SELECT root || '_props0', 'rdf:type', 'kg:props', NULL, false FROM base
+UNION ALL SELECT root || '_props0', 'has_k', cast(k AS varchar), 'xsd:integer', true FROM base WHERE k IS NOT NULL
+UNION ALL SELECT root, 'has_marks', root || '_marks0', NULL, false FROM base
+UNION ALL SELECT root, 'has_marks', root || '_marks1', NULL, false FROM base
+UNION ALL SELECT root || '_marks0', 'rdf:type', 'kg:marks', NULL, false FROM base
+UNION ALL SELECT root || '_marks1', 'rdf:type', 'kg:marks', NULL, false FROM base
+UNION ALL SELECT root || '_marks0', 'has_m', m0, 'xsd:integer', true FROM base
+UNION ALL SELECT root || '_marks1', 'has_m', m1, 'xsd:integer', true FROM base
+""".strip()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_structural": q_kg_triples_structural,
@@ -420,6 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_topk_orders_per_customer": q_topk_orders_per_customer,
         "j1_fk_join_customer_nation": q_fk_join_customer_nation,
         "j2_anti_join_containment": q_anti_join_containment,
+        "s5_type_inference": q_type_inference,
+        "j3_fk_inference": q_fk_inference,
+        "s9_json_kg_triples": q_json_kg_triples,
         "t1_text_profile": q_text_profile,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -465,6 +710,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, c_name FROM customer
             WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         """,
+        "s5_type_inference": _duck_vote_sql(),
+        "j3_fk_inference": _duck_fk_sql(),
+        "s9_json_kg_triples": _JSON_KG_SQL,
         "t1_text_profile": _TEXT_PROFILE_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
