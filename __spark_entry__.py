@@ -653,6 +653,167 @@ UNION ALL SELECT root || '_marks1', 'has_m', m1, 'xsd:integer', true FROM base
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# G3: ancestor closure over a derived binary-tree hierarchy (part table)
+# ---------------------------------------------------------------------------
+
+
+def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_partkey") >= 2).select(
+        F.concat(F.lit("n"), F.col("p_partkey").cast("string")).alias("child"),
+        F.concat(F.lit("n"), F.floor(F.col("p_partkey") / 2).cast("long").cast("string")).alias("parent"),
+    )
+
+
+def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: full (node, ancestor, depth) closure via iterative self-join."""
+    from knowledgegraphs_spark.operators.ontology import ancestor_closure_df
+
+    return ancestor_closure_df(_tree_edges(spark, sf_dir)).select("node", "anc", "depth")
+
+
+_CLOSURE_CTE = """
+edges AS (
+  SELECT 'n' || cast(p_partkey AS varchar) AS child,
+         'n' || cast(cast(floor(p_partkey / 2) AS BIGINT) AS varchar) AS parent
+  FROM part WHERE p_partkey >= 2
+),
+closure AS (
+  SELECT child AS node, parent AS anc, 1 AS depth FROM edges
+  UNION ALL
+  SELECT c.node, e.parent, c.depth + 1 FROM closure c JOIN edges e ON c.anc = e.child
+)
+""".strip()
+
+_G3_SQL = f"""
+WITH RECURSIVE {_CLOSURE_CTE}
+SELECT node, anc, depth FROM closure
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# W5 + F3 + F7: mapping selection over derived candidates (documents table)
+# ---------------------------------------------------------------------------
+
+_PO_RANGES = ["xsd:int", "xsd:decimal", "xsd:date", "xsd:string"]
+_DO_RANGES = ["xsd:integer", "xsd:string", "xsd:gYear", "xsd:double", None]
+
+
+def q_mapping_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D-stage selection: F3 reject filter → F7 datatype-family filter →
+    PJRank dense rank (W2) → W5 argmin-rank / argmax-BES pick."""
+    from knowledgegraphs_spark.operators.ontology import (
+        filter_by_family,
+        reject_low_scores,
+        select_optimal_df,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    po_arr = F.array(*[F.lit(x) for x in _PO_RANGES])
+    do_arr = F.array(*[F.lit(x) if x else F.lit(None).cast("string") for x in _DO_RANGES])
+    derived = docs.select(
+        F.concat(F.lit("el"), (F.col("doc_id") % 25).cast("string")).alias("src"),
+        F.concat(F.lit("C"), (F.col("doc_id") % 40).cast("string")).alias("tgt"),
+        ((F.col("doc_id") * 37) % 101 / 100.0).alias("bes"),
+        ((F.col("doc_id") * 61) % 101 / 100.0).alias("pj"),
+        F.element_at(po_arr, ((F.col("doc_id") % 25 + F.col("doc_id") % 40) % 4 + 1).cast("int")).alias("po_range"),
+        F.element_at(do_arr, ((F.col("doc_id") % 25 + F.col("doc_id") % 40) % 5 + 1).cast("int")).alias("do_range"),
+    )
+    cands = derived.groupBy("src", "tgt", "po_range", "do_range").agg(
+        F.round(F.max("bes"), 2).alias("bes"), F.round(F.max("pj"), 2).alias("pj")
+    )
+    filtered = filter_by_family(reject_low_scores(cands))
+    ranked = filtered.withColumn(
+        "pj_rank",
+        F.dense_rank().over(W.partitionBy("src").orderBy(F.col("pj").desc())),
+    )
+    return select_optimal_df(ranked, ["src"]).select("src", "tgt", "bes", "pj", "pj_rank")
+
+
+def _duck_selection_sql() -> str:
+    po_list = "[" + ",".join(f"'{x}'" for x in _PO_RANGES) + "]"
+    do_list = "[" + ",".join("NULL" if x is None else f"'{x}'" for x in _DO_RANGES) + "]"
+    int_d = "('xsd:int','xsd:integer','xsd:nonNegativeInteger','xsd:positiveInteger','xsd:long','xsd:short')"
+    dec_d = "('xsd:decimal','xsd:float','xsd:double')"
+    date_d = "('xsd:date','xsd:dateTime','xsd:gYear','xsd:time')"
+    return f"""
+WITH derived AS (
+  SELECT 'el' || cast(doc_id % 25 AS varchar) AS src,
+         'C' || cast(doc_id % 40 AS varchar) AS tgt,
+         (doc_id * 37) % 101 / 100.0 AS bes,
+         (doc_id * 61) % 101 / 100.0 AS pj,
+         list_extract({po_list}, cast((doc_id % 25 + doc_id % 40) % 4 AS int) + 1) AS po_range,
+         list_extract({do_list}, cast((doc_id % 25 + doc_id % 40) % 5 AS int) + 1) AS do_range
+  FROM documents
+), cands AS (
+  SELECT src, tgt, po_range, do_range, round(max(bes), 2) AS bes, round(max(pj), 2) AS pj
+  FROM derived GROUP BY src, tgt, po_range, do_range
+), filtered AS (
+  SELECT * FROM cands
+  WHERE pj >= 0.2 AND bes >= 0.3
+    AND (do_range IS NULL OR do_range = 'xsd:string' OR do_range = po_range
+         OR ((do_range IN {dec_d} OR do_range IN {int_d}) AND po_range IN {int_d})
+         OR (do_range IN {dec_d} AND po_range IN {dec_d})
+         OR (do_range IN {date_d} AND po_range IN {date_d}))
+), ranked AS (
+  SELECT *, cast(dense_rank() OVER (PARTITION BY src ORDER BY pj DESC) AS int) AS pj_rank
+  FROM filtered
+), mins AS (
+  SELECT *, min(pj_rank) OVER (PARTITION BY src) AS minr FROM ranked
+), top_rank AS (
+  SELECT * FROM mins WHERE pj_rank <= minr
+), maxb AS (
+  SELECT *, max(bes) OVER (PARTITION BY src) AS mb FROM top_rank
+)
+SELECT src, tgt, bes, pj, pj_rank FROM maxb WHERE bes >= mb
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# J9/A7: PII flagging via ancestor closure + broadcast DPV dictionary
+# ---------------------------------------------------------------------------
+
+
+def q_pii_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: element→class matches joined through the hierarchy closure to a
+    DPV-style dictionary; A7: grouped per element."""
+    from knowledgegraphs_spark.operators.ontology import ancestor_closure_df, flag_pii
+
+    p = _t(spark, sf_dir, "part")
+    n_keys = p.agg(F.max("p_partkey")).collect()[0][0]
+    matches = p.select(
+        F.concat(F.lit("el"), (F.col("p_partkey") % 97).cast("string")).alias("element"),
+        F.concat(F.lit("n"), ((F.col("p_partkey") * 13) % (n_keys - 1) + 2).cast("string")).alias("do_class"),
+    )
+    closure = ancestor_closure_df(_tree_edges(spark, sf_dir))
+    dpv = {f"n{k}": f"dpv:PC{k % 5}" for k in range(2, n_keys + 1) if k % 7 == 3}
+    return flag_pii(matches, closure, dpv, spark).select("element", "pii_classes", "is_personal")
+
+
+_J9_SQL = f"""
+WITH RECURSIVE {_CLOSURE_CTE},
+nk AS (SELECT max(p_partkey) AS m FROM part),
+matches AS (
+  SELECT 'el' || cast(p_partkey % 97 AS varchar) AS element,
+         'n' || cast((p_partkey * 13) % (nk.m - 1) + 2 AS varchar) AS do_class
+  FROM part, nk
+),
+hits AS (
+  SELECT m.element, m.do_class AS hit FROM matches m
+  UNION ALL
+  SELECT m.element, c.anc AS hit FROM matches m JOIN closure c ON m.do_class = c.node
+),
+pii AS (
+  SELECT h.element, 'dpv:PC' || cast(try_cast(substr(h.hit, 2) AS BIGINT) % 5 AS varchar) AS pii_class
+  FROM hits h
+  WHERE try_cast(substr(h.hit, 2) AS BIGINT) % 7 = 3
+)
+SELECT element, list_sort(list(DISTINCT pii_class)) AS pii_classes, TRUE AS is_personal
+FROM pii GROUP BY element
+""".strip()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_structural": q_kg_triples_structural,
@@ -665,6 +826,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s5_type_inference": q_type_inference,
         "j3_fk_inference": q_fk_inference,
         "s9_json_kg_triples": q_json_kg_triples,
+        "g3_ancestor_closure": q_ancestor_closure,
+        "w5_mapping_selection": q_mapping_selection,
+        "j9_pii_flag": q_pii_flag,
         "t1_text_profile": q_text_profile,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -713,6 +877,9 @@ def oracle_sql() -> dict[str, str]:
         "s5_type_inference": _duck_vote_sql(),
         "j3_fk_inference": _duck_fk_sql(),
         "s9_json_kg_triples": _JSON_KG_SQL,
+        "g3_ancestor_closure": _G3_SQL,
+        "w5_mapping_selection": _duck_selection_sql(),
+        "j9_pii_flag": _J9_SQL,
         "t1_text_profile": _TEXT_PROFILE_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),

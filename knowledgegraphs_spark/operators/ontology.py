@@ -1,0 +1,376 @@
+"""TBox model, ancestor closure, compatibility filters, and the D-stage
+mapping-selection rules (operators G3, G5, F3/F4/F6/F7, J6, J9, W5, A7).
+
+Reference semantics:
+
+* **G3 ancestor closure** — BFS over named superclasses with min depth,
+  cycle-guarded (``util/Ontology.java:174-209``). TBoxes are tiny → driver
+  BFS; a DataFrame iterative-self-join twin is provided for large
+  hierarchies (the same alternating-frontier pattern as our CC operator).
+* **F3 reject filter** — keep candidates with ``PJ ≥ PJ_REJECT_THRS AND
+  BES ≥ BES_REJECT_THRS`` (``MappingSelection.java:343-347``).
+* **F4 table filter** — ``BES ≥ HIGH OR (BES ≥ LOW AND PJ ≥ PJ_HIGH)``
+  (``MappingSelection.java:140-145``).
+* **F6 domain compatibility** — obj-property candidates whose inferred
+  domain is not equal/ancestor/descendant of the chosen table class are
+  dropped (``MappingSelection.java:301-313,603-627``).
+* **F7 datatype compatibility** — data-property candidates survive when
+  the DO range is absent, ``xsd:string``, equal to the PO range, or in the
+  same numeric/decimal/date family (``MappingSelection.java:315-340``,
+  families ``util/XSDmappers.java:16-18``).
+* **J6 n-ary path pattern** — objCand × classCand with range(obj) ~ class,
+  × dataCand with domain(dp) ~ class (``MappingSelection.java:351-389``).
+* **W5 argmin-rank select** — rows with ``PJRank == min``, then ``BES ==
+  max`` unless a union is allowed (``MappingSelection.java:217-227``).
+* **G5 hierarchy collapse** — candidates sharing ancestors within
+  ``DEPTH_THRS`` form groups; ISA groups specialize-or-generalize,
+  sibling groups pick a best or generalize to the common ancestor
+  (``MappingSelection.java:475-597``).
+* **J9/A7 PII flagging** — matched elements' DO ancestors intersected with
+  a DPV dictionary; results grouped per element
+  (``F_PII/PIIidentification.java:158-256``).
+
+Scale split: candidate tables are *vocabulary-sized* (per schema element),
+so the intricate G5 group logic runs as exact pure functions driver-side —
+the same decision the reference makes — while everything that touches
+row-scale data (closure joins, filters, PII grouping) is DataFrame ops.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# XSD datatype families (XSDmappers.java:16-18)
+INT_DATATYPES = {"xsd:int", "xsd:integer", "xsd:nonNegativeInteger", "xsd:positiveInteger", "xsd:long", "xsd:short"}
+DECIMAL_DATATYPES = {"xsd:decimal", "xsd:float", "xsd:double"}
+DATE_DATATYPES = {"xsd:date", "xsd:dateTime", "xsd:gYear", "xsd:time"}
+
+
+@dataclass
+class TBox:
+    """Minimal ontology schema: subclass/subproperty edges + property
+    domain/range. Broadcast-sized by construction."""
+
+    subclass_of: dict[str, set[str]] = field(default_factory=dict)  # child -> parents
+    prop_domain: dict[str, str] = field(default_factory=dict)
+    prop_range: dict[str, str] = field(default_factory=dict)
+    class_data_props: dict[str, set[str]] = field(default_factory=dict)  # class -> usable dps
+
+    def ancestors(self, node: str, include_self: bool = False) -> dict[str, int]:
+        return ancestor_closure_bfs(self.subclass_of, node, include_self)
+
+
+def ancestor_closure_bfs(
+    edges: dict[str, set[str]], node: str, include_self: bool = False
+) -> dict[str, int]:
+    """G3: min-depth ancestor map for one node (cycle-guarded BFS),
+    mirroring Ontology.java:174-209."""
+    depths: dict[str, int] = {node: 0} if include_self else {}
+    seen = {node}
+    q = deque([(node, 0)])
+    while q:
+        cur, d = q.popleft()
+        for parent in edges.get(cur, ()):
+            if parent not in seen:
+                seen.add(parent)
+                depths[parent] = d + 1
+                q.append((parent, d + 1))
+    return depths
+
+
+def ancestor_closure_df(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """G3 at scale: full (node, anc, depth) closure via iterative self-join
+    with min-depth dedup per round. ``edges(child, parent)``. Lineage is cut
+    every few rounds with localCheckpoint, same as the CC operator."""
+    base = edges.select(
+        F.col("child").alias("node"), F.col("parent").alias("anc"), F.lit(1).alias("depth")
+    ).distinct()
+    closure = base
+    frontier = base
+    for i in range(max_iters):
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.anc") == F.col("e.child"))
+            .select(
+                F.col("f.node").alias("node"),
+                F.col("e.parent").alias("anc"),
+                (F.col("f.depth") + 1).alias("depth"),
+            )
+            # drop pairs already reached (cycle guard + min-depth semantics:
+            # BFS order means the first arrival is the shallower one)
+            .join(closure, ["node", "anc"], "left_anti")
+            .groupBy("node", "anc")
+            .agg(F.min("depth").alias("depth"))
+        )
+        if nxt.isEmpty():
+            break
+        closure = closure.unionByName(nxt)
+        frontier = nxt
+        if (i + 1) % 5 == 0:
+            closure = closure.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    return closure
+
+
+def are_compatible(tbox: TBox, a: str | None, b: str | None, missing_ok: bool) -> bool:
+    """MappingSelection.java:603-627: equal, or one is the other's ancestor
+    (self-inclusive). ``a`` may be a union encoded as frozenset."""
+    if a is None or b is None:
+        return missing_ok
+    ops = a if isinstance(a, (set, frozenset)) else {a}
+    for op in ops:
+        if (
+            op == b
+            or b in ancestor_closure_bfs(tbox.subclass_of, op)
+            or op in ancestor_closure_bfs(tbox.subclass_of, b)
+        ):
+            return True
+    return False
+
+
+def data_range_compatible(do_range: str | None, po_range: str | None) -> bool:
+    """F7 (MappingSelection.java:315-340)."""
+    if do_range is None or do_range == "xsd:string":
+        return True
+    if do_range == po_range:
+        return True
+    if (do_range in DECIMAL_DATATYPES or do_range in INT_DATATYPES) and po_range in INT_DATATYPES:
+        return True
+    if do_range in DECIMAL_DATATYPES and po_range in DECIMAL_DATATYPES:
+        return True
+    if do_range in DATE_DATATYPES and po_range in DATE_DATATYPES:
+        return True
+    return False
+
+
+# ---------------------------------------------------------------------------
+# DataFrame filters (F3/F4/F6/F7) — columnar, broadcast-joined
+# ---------------------------------------------------------------------------
+
+
+def reject_low_scores(cands: DataFrame, pj_reject: float = 0.2, bes_reject: float = 0.3) -> DataFrame:
+    """F3: PJ ≥ reject AND BES ≥ reject."""
+    return cands.filter((F.col("pj") >= pj_reject) & (F.col("bes") >= bes_reject))
+
+
+def table_threshold_filter(
+    cands: DataFrame, bes_high: float = 0.85, bes_low: float = 0.6, pj_high: float = 0.5
+) -> DataFrame:
+    """F4: BES ≥ HIGH OR (BES ≥ LOW AND PJ ≥ PJ_HIGH)."""
+    return cands.filter(
+        (F.col("bes") >= bes_high) | ((F.col("bes") >= bes_low) & (F.col("pj") >= pj_high))
+    )
+
+
+def filter_by_family(cands: DataFrame, po_range_col: str = "po_range", do_range_col: str = "do_range") -> DataFrame:
+    """F7 as a pure column expression (whole-stage codegen, no UDF)."""
+    dor, por = F.col(do_range_col), F.col(po_range_col)
+    int_d = F.array(*[F.lit(x) for x in sorted(INT_DATATYPES)])
+    dec_d = F.array(*[F.lit(x) for x in sorted(DECIMAL_DATATYPES)])
+    date_d = F.array(*[F.lit(x) for x in sorted(DATE_DATATYPES)])
+    compatible = (
+        dor.isNull()
+        | (dor == "xsd:string")
+        | (dor == por)
+        | ((F.array_contains(dec_d, dor) | F.array_contains(int_d, dor)) & F.array_contains(int_d, por))
+        | (F.array_contains(dec_d, dor) & F.array_contains(dec_d, por))
+        | (F.array_contains(date_d, dor) & F.array_contains(date_d, por))
+    )
+    return cands.filter(compatible)
+
+
+def filter_domain_compatible(
+    obj_cands: DataFrame, closure: DataFrame, table_class_col: str = "table_class",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """F6 at scale: keep obj candidates whose declared domain is equal to,
+    an ancestor of, or a descendant of the chosen table class — two
+    broadcast semi-joins against the (node, anc) closure."""
+    d, t = F.col(domain_col), F.col(table_class_col)
+    c = F.broadcast(closure.select("node", "anc"))
+    up = obj_cands.join(
+        c, (d == c["node"]) & (t == c["anc"]), "left_semi"
+    )
+    down = obj_cands.join(
+        c, (t == c["node"]) & (d == c["anc"]), "left_semi"
+    )
+    eq = obj_cands.filter(d.isNull() | (d == t))
+    return eq.unionByName(up).unionByName(down).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# W5 argmin-rank selection + J6 n-ary path join
+# ---------------------------------------------------------------------------
+
+
+def select_optimal_df(cands: DataFrame, group_cols: list[str], allow_union: bool = False) -> DataFrame:
+    """W5 per group: PJRank == min(PJRank), then (unless union allowed)
+    BES == max(BES) — window min/max + filter-to-extreme, no sort."""
+    w = Window.partitionBy(*group_cols)
+    out = cands.withColumn("__minr", F.min("pj_rank").over(w)).filter(
+        F.col("pj_rank") <= F.col("__minr")
+    ).drop("__minr")
+    if not allow_union:
+        out = out.withColumn("__maxb", F.max("bes").over(w)).filter(
+            F.col("bes") >= F.col("__maxb")
+        ).drop("__maxb")
+    return out
+
+
+def find_nary_paths(
+    obj_cands: DataFrame | None,
+    cls_cands: DataFrame | None,
+    data_cands: DataFrame | None,
+    closure: DataFrame,
+    key_cols: list[str],
+) -> DataFrame | None:
+    """J6: objCand × classCand where range(obj) ~ class (equal or related
+    through the closure), extended by compatible dataCands — two broadcast
+    joins, grouped by the source-element key columns."""
+    if obj_cands is None or cls_cands is None:
+        return None
+    c = F.broadcast(closure.select("node", "anc"))
+    o = obj_cands.select(*key_cols, F.col("tgt").alias("obj_cand"), F.col("range").alias("obj_range"))
+    k = cls_cands.select(*key_cols, F.col("tgt").alias("cls_cand"))
+    pairs = o.join(k, key_cols)
+    rel_up = pairs.join(c, (pairs["obj_range"] == c["node"]) & (pairs["cls_cand"] == c["anc"]), "left_semi")
+    rel_dn = pairs.join(c, (pairs["cls_cand"] == c["node"]) & (pairs["obj_range"] == c["anc"]), "left_semi")
+    eq = pairs.filter(F.col("obj_range") == F.col("cls_cand"))
+    compat = eq.unionByName(rel_up).unionByName(rel_dn).dropDuplicates()
+    if data_cands is None:
+        return compat.withColumn("data_cand", F.lit(None).cast("string"))
+    d = data_cands.select(*key_cols, F.col("tgt").alias("data_cand"), F.col("domain").alias("dp_domain"))
+    joined = compat.join(d, key_cols, "left")
+    keep = joined.filter(
+        F.col("data_cand").isNull() | (F.col("dp_domain") == F.col("cls_cand")) | F.col("dp_domain").isNull()
+    )
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# G5 hierarchy collapse — exact reference logic over vocabulary-scale rows
+# ---------------------------------------------------------------------------
+
+
+def find_hierarchical_relations(
+    tbox: TBox, candidates: set[str], depth_thrs: int = 2
+) -> dict[frozenset, tuple[str, int]]:
+    """MappingSelection.java:530-565: group candidates by shared ancestors
+    within ``depth_thrs``; per child-set keep the closest common ancestor;
+    drop groups that are not each member's largest group."""
+    common: dict[str, tuple[set[str], int]] = {}
+    for cand in candidates:
+        for anc, depth in ancestor_closure_bfs(tbox.subclass_of, cand, include_self=True).items():
+            if anc in common:
+                children, cur = common[anc]
+                upd = 0 if (cur == 0 or depth == 0) else max(cur, depth)
+                if upd <= depth_thrs:
+                    children.add(cand)
+                    common[anc] = (children, upd)
+            elif depth <= depth_thrs:
+                common[anc] = ({cand}, depth)
+
+    hierarchies: dict[frozenset, tuple[str, int]] = {}
+    group_size = {c: 1 for c in candidates}
+    for anc, (children, depth) in common.items():
+        key = frozenset(children)
+        if key not in hierarchies or hierarchies[key][1] > depth:
+            hierarchies[key] = (anc, depth)
+        for c in children:
+            group_size[c] = max(group_size[c], len(children))
+    return {
+        grp: v
+        for grp, v in hierarchies.items()
+        if all(group_size[c] == len(grp) for c in grp)
+    }
+
+
+def consider_hierarchies(
+    tbox: TBox, cands: list[dict], depth_thrs: int = 2
+) -> list[dict]:
+    """G5 (MappingSelection.java:475-504): per hierarchical group emit one
+    row — transfer target per specialize/generalize, scores = group max,
+    ranks = group min. ``cands`` rows need keys tgt/pj/bes/pj_rank."""
+    by_tgt = {c["tgt"]: c for c in cands}
+    out: list[dict] = []
+    for grp, (anc, depth) in find_hierarchical_relations(
+        tbox, set(by_tgt), depth_thrs
+    ).items():
+        rows = [by_tgt[t] for t in grp]
+        if len(grp) > 1:
+            trfs = (
+                _specialize(anc, grp, by_tgt)
+                if depth == 0
+                else _generalize(anc, [by_tgt[t] for t in grp])
+            )
+        else:
+            trfs = next(iter(grp))
+        out.append(
+            {
+                "tgt": trfs,
+                "pj": max(r["pj"] for r in rows),
+                "bes": max(r["bes"] for r in rows),
+                "pj_rank": min(r["pj_rank"] for r in rows),
+            }
+        )
+    return out
+
+
+def _specialize(anc: str, group: frozenset, by_tgt: dict[str, dict]) -> str:
+    """ISA group: a descendant at least as good as the ancestor wins, else
+    the ancestor (MappingSelection.java:569-581)."""
+    if anc not in by_tgt:
+        return _generalize(anc, [by_tgt[t] for t in group])
+    a = by_tgt[anc]
+    tops = [
+        r
+        for t, r in by_tgt.items()
+        if t in group and t != anc and r["pj_rank"] <= a["pj_rank"] and r["pj"] >= a["pj"]
+    ]
+    return _generalize(anc, tops) if tops else anc
+
+
+def _generalize(anc: str, rows: list[dict]) -> str:
+    """Sibling group: unique best (min rank AND max PJ) or the ancestor
+    (MappingSelection.java:584-597)."""
+    if not rows:
+        return anc
+    min_rank = min(r["pj_rank"] for r in rows)
+    max_pj = max(r["pj"] for r in rows)
+    tops = [r for r in rows if r["pj_rank"] <= min_rank and r["pj"] >= max_pj]
+    return tops[0]["tgt"] if len(tops) == 1 else anc
+
+
+# ---------------------------------------------------------------------------
+# J9/A7: PII flagging
+# ---------------------------------------------------------------------------
+
+
+def flag_pii(
+    matches: DataFrame, closure: DataFrame, dpv_dict: dict[str, str], spark: SparkSession
+) -> DataFrame:
+    """matches(element, do_class) → self+ancestors → broadcast DPV dict →
+    grouped PII classes per element (PIIidentification.java:158-256)."""
+    dpv = F.broadcast(
+        spark.createDataFrame(
+            sorted(dpv_dict.items()), "do_class: string, pii_class: string"
+        )
+    )
+    c = F.broadcast(closure.select("node", "anc"))
+    self_rows = matches.select("element", F.col("do_class").alias("hit"))
+    anc_rows = matches.join(c, matches["do_class"] == c["node"]).select(
+        "element", F.col("anc").alias("hit")
+    )
+    hits = self_rows.unionByName(anc_rows).join(
+        dpv, F.col("hit") == dpv["do_class"]
+    )
+    return (
+        hits.groupBy("element")
+        .agg(F.array_sort(F.collect_set("pii_class")).alias("pii_classes"))
+        .withColumn("is_personal", F.size("pii_classes") > 0)
+    )

@@ -1,0 +1,160 @@
+"""G3/G5/F6/F7/W5/J6/J9: ancestor closure, hierarchy collapse, compatibility
+filters, argmin-rank selection, PII flagging."""
+
+import pytest
+
+from knowledgegraphs_spark.operators.ontology import (
+    TBox,
+    ancestor_closure_bfs,
+    ancestor_closure_df,
+    are_compatible,
+    consider_hierarchies,
+    data_range_compatible,
+    filter_by_family,
+    find_hierarchical_relations,
+    flag_pii,
+    reject_low_scores,
+    select_optimal_df,
+)
+
+EDGES = {
+    "DemandDepositAccount": {"Account"},
+    "Account": {"Thing"},
+    "FloatingRateNoteDate": {"Date"},
+    "Date": {"Thing"},
+    "hasDateOfRegistration": {"hasDate"},
+    "hasDate": {"relatesTo"},
+    "isLinkedToAccount": {"relatesTo"},
+    "hasCorrespondingAccount": {"relatesTo"},
+    "appliesToAccount": set(),
+}
+
+
+def test_ancestor_closure_bfs():
+    anc = ancestor_closure_bfs(EDGES, "DemandDepositAccount")
+    assert anc == {"Account": 1, "Thing": 2}
+    assert ancestor_closure_bfs(EDGES, "Thing") == {}
+    with_self = ancestor_closure_bfs(EDGES, "Account", include_self=True)
+    assert with_self["Account"] == 0 and with_self["Thing"] == 1
+
+
+def test_ancestor_closure_cycle_guard():
+    cyc = {"a": {"b"}, "b": {"a"}}
+    assert ancestor_closure_bfs(cyc, "a") == {"b": 1}
+
+
+def test_are_compatible():
+    tb = TBox(subclass_of=EDGES)
+    assert are_compatible(tb, "Account", "Account", False)
+    assert are_compatible(tb, "DemandDepositAccount", "Account", False)  # descendant
+    assert are_compatible(tb, "Account", "DemandDepositAccount", False)  # ancestor
+    assert not are_compatible(tb, "Account", "Date", False)
+    assert are_compatible(tb, None, "Date", True) and not are_compatible(tb, None, "Date", False)
+    # union domain: any operand compatible suffices
+    assert are_compatible(tb, frozenset({"Date", "Account"}), "DemandDepositAccount", False)
+
+
+def test_data_range_compatible():
+    assert data_range_compatible(None, "xsd:int")
+    assert data_range_compatible("xsd:string", "xsd:date")
+    assert data_range_compatible("xsd:decimal", "xsd:int")  # decimal ⊇ int
+    assert not data_range_compatible("xsd:int", "xsd:decimal")  # not the reverse
+    assert data_range_compatible("xsd:gYear", "xsd:date")
+    assert not data_range_compatible("xsd:date", "xsd:int")
+
+
+def test_find_hierarchical_relations_reference_example():
+    """The worked FIBO example from MappingSelection.java:507-528."""
+    tb = TBox(subclass_of=EDGES)
+    groups = find_hierarchical_relations(
+        tb, {"hasCorrespondingAccount", "isLinkedToAccount", "appliesToAccount"}, depth_thrs=2
+    )
+    by_set = {grp: v for grp, v in groups.items()}
+    sib = frozenset({"hasCorrespondingAccount", "isLinkedToAccount"})
+    assert sib in by_set and by_set[sib][0] == "relatesTo" and by_set[sib][1] == 1
+    solo = frozenset({"appliesToAccount"})
+    assert solo in by_set and by_set[solo][1] == 0
+
+
+def test_consider_hierarchies_isa_specialize():
+    """ISA group {Date, FloatingRateNoteDate}: descendant wins when at least
+    as good as the ancestor."""
+    tb = TBox(subclass_of=EDGES)
+    cands = [
+        {"tgt": "Date", "pj": 0.5, "bes": 0.8, "pj_rank": 2},
+        {"tgt": "FloatingRateNoteDate", "pj": 0.7, "bes": 0.9, "pj_rank": 1},
+    ]
+    out = consider_hierarchies(tb, cands)
+    assert len(out) == 1
+    assert out[0]["tgt"] == "FloatingRateNoteDate"
+    # scores = group max, rank = group min
+    assert out[0]["bes"] == 0.9 and out[0]["pj_rank"] == 1
+
+
+def test_consider_hierarchies_generalize_to_ancestor():
+    """Sibling group with no unique best → collapse to common ancestor."""
+    tb = TBox(subclass_of=EDGES)
+    cands = [
+        {"tgt": "isLinkedToAccount", "pj": 0.6, "bes": 0.7, "pj_rank": 1},
+        {"tgt": "hasCorrespondingAccount", "pj": 0.6, "bes": 0.7, "pj_rank": 1},
+    ]
+    out = consider_hierarchies(tb, cands)
+    assert [r["tgt"] for r in out] == ["relatesTo"]
+
+
+def test_reject_and_family_filters(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "t1", 0.9, 0.9, "xsd:int", "xsd:integer"),
+            ("a", "t2", 0.9, 0.1, "xsd:int", "xsd:integer"),  # F3: pj too low
+            ("a", "t3", 0.9, 0.9, "xsd:decimal", "xsd:gYear"),  # F7: family clash
+        ],
+        "src: string, tgt: string, bes: double, pj: double, po_range: string, do_range: string",
+    )
+    out = filter_by_family(reject_low_scores(df))
+    assert [r.tgt for r in out.collect()] == ["t1"]
+
+
+def test_select_optimal_df(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", "t1", 0.9, 0.8, 1),
+            ("a", "t2", 0.7, 0.8, 1),  # same rank, lower bes → dropped
+            ("a", "t3", 0.99, 0.9, 2),  # worse rank → dropped
+            ("b", "t4", 0.5, 0.5, 3),
+        ],
+        "src: string, tgt: string, bes: double, pj: double, pj_rank: int",
+    )
+    out = {(r.src, r.tgt) for r in select_optimal_df(df, ["src"]).collect()}
+    assert out == {("a", "t1"), ("b", "t4")}
+    union = {(r.src, r.tgt) for r in select_optimal_df(df, ["src"], allow_union=True).collect()}
+    assert union == {("a", "t1"), ("a", "t2"), ("b", "t4")}
+
+
+@pytest.fixture(scope="module")
+def closure_df(spark):
+    edges = spark.createDataFrame(
+        [(c, p) for c, ps in EDGES.items() for p in ps], "child: string, parent: string"
+    )
+    return ancestor_closure_df(edges)
+
+
+def test_ancestor_closure_df(spark, closure_df):
+    rows = {(r.node, r.anc): r.depth for r in closure_df.collect()}
+    assert rows[("DemandDepositAccount", "Account")] == 1
+    assert rows[("DemandDepositAccount", "Thing")] == 2
+    assert rows[("hasDateOfRegistration", "relatesTo")] == 2
+    assert ("Thing", "Thing") not in rows
+
+
+def test_flag_pii(spark, closure_df):
+    matches = spark.createDataFrame(
+        [("col_acct", "DemandDepositAccount"), ("col_note", "FloatingRateNoteDate"), ("col_x", "Thing")],
+        "element: string, do_class: string",
+    )
+    dpv = {"Account": "dpv:FinancialAccount", "Date": "dpv:Date", "DemandDepositAccount": "dpv:DDA"}
+    out = {r.element: list(r.pii_classes) for r in flag_pii(matches, closure_df, dpv, spark).collect()}
+    # direct match + ancestor match, deduped and sorted
+    assert out["col_acct"] == ["dpv:DDA", "dpv:FinancialAccount"]
+    assert out["col_note"] == ["dpv:Date"]
+    assert "col_x" not in out  # no DPV hit → not flagged
