@@ -814,6 +814,186 @@ FROM pii GROUP BY element
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# X5: exact-match short-circuit scorer
+# ---------------------------------------------------------------------------
+
+
+def q_exact_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: equi-join on shared annotations, 0.5 demotion for data props
+    lacking domain+range, best-per-source."""
+    from knowledgegraphs_spark.operators.refinement import exact_match_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    src = docs.select(
+        F.concat(F.lit("sel"), (F.col("doc_id") % 50).cast("string")).alias("element"),
+        F.concat(F.lit("w"), (F.col("doc_id") % 97).cast("string")).alias("annotation"),
+    ).distinct()
+    tgt = docs.select(
+        F.concat(F.lit("tel"), (F.col("doc_id") % 40).cast("string")).alias("element"),
+        F.concat(F.lit("w"), ((F.col("doc_id") * 3) % 97).cast("string")).alias("annotation"),
+    ).distinct()
+    nd = tgt.select("element").distinct().filter(
+        F.substring("element", 4, 10).cast("int") % 4 == 0
+    )
+    return exact_match_scores(src, tgt, nd)
+
+
+_X5_SQL = """
+WITH s AS (SELECT DISTINCT 'sel' || cast(doc_id % 50 AS varchar) AS src, 'w' || cast(doc_id % 97 AS varchar) AS a FROM documents),
+t AS (SELECT DISTINCT 'tel' || cast(doc_id % 40 AS varchar) AS tgt, 'w' || cast((doc_id * 3) % 97 AS varchar) AS a FROM documents),
+hits AS (SELECT DISTINCT src, tgt FROM s JOIN t USING (a)),
+scored AS (SELECT src, tgt, CASE WHEN try_cast(substr(tgt, 4) AS INT) % 4 = 0 THEN 0.5 ELSE 1.0 END AS score FROM hits),
+best AS (SELECT src, max(score) AS b FROM scored GROUP BY src)
+SELECT src, min(tgt) AS tgt, score FROM scored JOIN best USING (src) WHERE score >= b GROUP BY src, score
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# G6/J7: iterative mapping extension over the part-derived tree
+# ---------------------------------------------------------------------------
+
+
+def q_mapping_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: frontier BFS over parent×parent / child×child pairs with a
+    deterministic score gate (κ=0.7)."""
+    from knowledgegraphs_spark.operators.refinement import mapping_extension
+
+    p = _t(spark, sf_dir, "part")
+    n_keys = p.agg(F.max("p_partkey")).collect()[0][0]
+    edges = _tree_edges(spark, sf_dir)
+    seeds = p.filter((F.col("p_partkey") % 50 == 0) & (F.col("p_partkey") >= 1)).select(
+        F.concat(F.lit("n"), F.col("p_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), ((F.col("p_partkey") * 7) % n_keys + 1).cast("string")).alias("tgt"),
+    )
+
+    def score(s, t):
+        sn = F.substring(s, 2, 12).cast("long")
+        tn = F.substring(t, 2, 12).cast("long")
+        return ((sn * 31 + tn * 17) % 100) / 100.0
+
+    return mapping_extension(seeds, edges, edges, score, kappa=0.7, max_iter=40)
+
+
+_G6_SQL = """
+WITH RECURSIVE
+nk AS (SELECT max(p_partkey) AS m FROM part),
+seeds AS (
+  SELECT p_partkey AS s, (p_partkey * 7) % (SELECT m FROM nk) + 1 AS t
+  FROM part WHERE p_partkey % 50 = 0 AND p_partkey >= 1
+),
+ext AS (
+  SELECT s, t FROM seeds
+  UNION
+  SELECT x.s2 AS s, x.t2 AS t
+  FROM (
+    SELECT CASE m.i WHEN 0 THEN e.s // 2 WHEN 1 THEN 2 * e.s WHEN 2 THEN 2 * e.s WHEN 3 THEN 2 * e.s + 1 ELSE 2 * e.s + 1 END AS s2,
+           CASE m.i WHEN 0 THEN e.t // 2 WHEN 1 THEN 2 * e.t WHEN 2 THEN 2 * e.t + 1 WHEN 3 THEN 2 * e.t ELSE 2 * e.t + 1 END AS t2
+    FROM ext e, (VALUES (0), (1), (2), (3), (4)) AS m(i)
+  ) x, nk
+  WHERE x.s2 BETWEEN 1 AND nk.m AND x.t2 BETWEEN 1 AND nk.m
+    AND ((x.s2 * 31 + x.t2 * 17) % 100) / 100.0 >= 0.7
+)
+SELECT 'n' || cast(s AS varchar) AS src, 'n' || cast(t AS varchar) AS tgt,
+       ((s * 31 + t * 17) % 100) / 100.0 AS score
+FROM ext
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# F9: two-round veto filtering over derived header candidates
+# ---------------------------------------------------------------------------
+
+
+def _veto_cands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 30).cast("string")).alias("header"),
+        F.concat(F.lit("ab"), (F.col("doc_id") % 12).cast("string")).alias("abbrev"),
+        F.concat(F.lit("ff"), ((F.col("doc_id") * 5) % 9).cast("string")).alias("ff"),
+        (((F.col("doc_id") * 13) % 100) / 100.0).alias("score"),
+        (((F.col("doc_id") * 29) % 100) / 100.0).alias("global_score"),
+        ((F.col("doc_id") % 30) % 2 == 0).alias("is_single_abbrev"),
+    )
+    return raw.groupBy("header", "abbrev", "ff", "is_single_abbrev").agg(
+        F.max("score").alias("score"), F.max("global_score").alias("global_score")
+    )
+
+
+def q_veto_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: round-1 own/global threshold drop, round-2 shared-abbreviation
+    veto propagation via distinct + anti-join."""
+    from knowledgegraphs_spark.operators.refinement import (
+        first_round_filter,
+        second_round_filter,
+    )
+
+    out = second_round_filter(first_round_filter(_veto_cands(spark, sf_dir), 0.82), 0.85)
+    return out.select("header", "abbrev", "ff", "score", "global_score", "is_single_abbrev")
+
+
+_F9_SQL = """
+WITH raw AS (
+  SELECT 'h' || cast(doc_id % 30 AS varchar) AS header,
+         'ab' || cast(doc_id % 12 AS varchar) AS abbrev,
+         'ff' || cast((doc_id * 5) % 9 AS varchar) AS ff,
+         ((doc_id * 13) % 100) / 100.0 AS score,
+         ((doc_id * 29) % 100) / 100.0 AS global_score,
+         (doc_id % 30) % 2 = 0 AS is_single_abbrev
+  FROM documents
+), cands AS (
+  SELECT header, abbrev, ff, is_single_abbrev,
+         max(score) AS score, max(global_score) AS global_score
+  FROM raw GROUP BY header, abbrev, ff, is_single_abbrev
+), r1 AS (
+  SELECT * FROM cands WHERE NOT (score <= 0.82 AND global_score <= 0.82)
+), veto AS (
+  SELECT DISTINCT abbrev, ff FROM r1
+  WHERE is_single_abbrev AND score < 0.85 AND global_score < 0.85
+)
+SELECT header, abbrev, ff, score, global_score, is_single_abbrev FROM r1
+WHERE NOT EXISTS (SELECT 1 FROM veto v WHERE v.abbrev = r1.abbrev AND v.ff = r1.ff)
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# M4: context score over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+def q_context_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: mean cosine of each vector vs the other vectors of its context."""
+    from knowledgegraphs_spark.operators.refinement import context_scores
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("c"), (F.col("vec_id") % 25).cast("string")).alias("ctx"),
+        F.concat(F.lit("v"), F.col("vec_id").cast("string")).alias("element"),
+        F.col("embedding"),
+    )
+    return context_scores(emb).select(
+        "ctx", "element", F.round("mean_ctx_score", 6).alias("mean_ctx_score")
+    )
+
+
+_M4_SQL = """
+WITH e AS (
+  SELECT 'c' || cast(vec_id % 25 AS varchar) AS ctx,
+         'v' || cast(vec_id AS varchar) AS element,
+         embedding
+  FROM embeddings
+), pairs AS (
+  SELECT a.ctx, a.element,
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+  FROM e a JOIN e b ON a.ctx = b.ctx AND a.element <> b.element
+)
+SELECT ctx, element, round(avg(cos), 6) AS mean_ctx_score
+FROM pairs GROUP BY ctx, element
+""".strip()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_structural": q_kg_triples_structural,
@@ -829,6 +1009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g3_ancestor_closure": q_ancestor_closure,
         "w5_mapping_selection": q_mapping_selection,
         "j9_pii_flag": q_pii_flag,
+        "x5_exact_match": q_exact_match,
+        "g6_mapping_extension": q_mapping_extension,
+        "f9_veto_filter": q_veto_filter,
+        "m4_context_score": q_context_score,
         "t1_text_profile": q_text_profile,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -880,6 +1064,10 @@ def oracle_sql() -> dict[str, str]:
         "g3_ancestor_closure": _G3_SQL,
         "w5_mapping_selection": _duck_selection_sql(),
         "j9_pii_flag": _J9_SQL,
+        "x5_exact_match": _X5_SQL,
+        "g6_mapping_extension": _G6_SQL,
+        "f9_veto_filter": _F9_SQL,
+        "m4_context_score": _M4_SQL,
         "t1_text_profile": _TEXT_PROFILE_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
