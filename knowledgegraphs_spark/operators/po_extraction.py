@@ -102,6 +102,190 @@ def extract_po(specs: list[TableSpec], with_inverses: bool = True) -> PutativeOn
     return PutativeOntology(classes, attr_classes, obj_props, data_props, paths, by_name)
 
 
+# ---------------------------------------------------------------------------
+# Full RDB2OWL rule system (reference C-stage):
+#   class rules 1-2 + table clustering (A2) + common-stem naming (X14)
+#     — ClassExtractor.java:25-88
+#   object-property rules r1-r8 incl. FK-target intersection (U2) and
+#   symmetric self-references, with DomRan union-merge (A5)
+#     — ObjectPropExtractor.java:34-140, Properties.java:22-58
+# Schema metadata is tiny → driver-side; outputs broadcast into emission.
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class DomRan:
+    """A5: same-named properties union their domains/ranges/rules
+    (Properties.java:22-27,50-58)."""
+
+    rules: set[str] = field(default_factory=set)
+    domains: set[str] = field(default_factory=set)
+    ranges: set[str] = field(default_factory=set)
+
+    def union(self, rule: str, domain: str, range_: str) -> None:
+        self.rules.add(rule)
+        self.domains.add(domain)
+        self.ranges.add(range_)
+
+
+def _pk_fk_intersection(spec: TableSpec) -> set[str]:
+    return set(spec.pks) & spec.fk_columns()
+
+
+def _fk_pk_difference(spec: TableSpec) -> set[str]:
+    """Referenced targets (``refTable.refColumn``) of non-PK FK columns
+    (RTable.java:109-117 stores the FK *pointer* string)."""
+    return {f"{fk.ref_table}.{fk.ref_column}" for fk in spec.fks if fk.column not in spec.pks}
+
+
+def _pks_eq_fks(spec: TableSpec) -> bool:
+    return spec.fk_columns() == set(spec.pks)
+
+
+def _pks_subset_fks(spec: TableSpec) -> bool:
+    return set(spec.pks) <= spec.fk_columns()
+
+
+def _has_simple_attribute(spec: TableSpec) -> bool:
+    return any(c not in spec.pks and c not in spec.fk_columns() for c in spec.columns)
+
+
+def common_stem(names: list[str]) -> str:
+    """X14: longest substring of names[0] contained in every name; fallback
+    ``join("_")`` (ClassExtractor.java:63-88)."""
+    if not names:
+        return ""
+    s = names[0]
+    best = ""
+    for i in range(len(s)):
+        for j in range(i + 1, len(s) + 1):
+            stem = s[i:j]
+            if len(stem) > len(best) and all(stem in n for n in names[1:]):
+                best = stem
+    return best if best else "_".join(names)
+
+
+def rdb2owl_classes(specs: list[TableSpec]) -> dict[str, str]:
+    """Class rules 1-2: junction tables (PKs==FKs) cluster with their FK
+    targets under a common-stem class; remaining tables become their own
+    class when keyed/intersected/attributed (ClassExtractor.java:25-60)."""
+    by_name = {s.name: s for s in specs}
+    set_of_table: dict[str, int] = {}
+    n_sets = 0
+    for spec in specs:
+        if spec.fks and _pks_eq_fks(spec):
+            for fk in spec.fks:
+                if fk.ref_table in set_of_table:
+                    set_of_table[spec.name] = set_of_table[fk.ref_table]
+                else:
+                    set_of_table[spec.name] = n_sets
+                    set_of_table[fk.ref_table] = n_sets
+                    n_sets += 1
+    groups: dict[int, list[str]] = {}
+    for t, g in set_of_table.items():
+        groups.setdefault(g, []).append(t)
+
+    table_classes: dict[str, str] = {}
+    for members in groups.values():
+        ordered = [s.name for s in specs if s.name in members]
+        cls = naming.valid_name(common_stem(ordered))
+        for t in ordered:
+            table_classes[t] = cls
+    for spec in specs:  # rule 2
+        if spec.name not in table_classes and (
+            len(spec.pks) == 1
+            or len(_pk_fk_intersection(spec)) >= 1
+            or (_has_simple_attribute(spec) and _pks_subset_fks(spec))
+        ):
+            table_classes[spec.name] = naming.valid_name(spec.name)
+    _ = by_name
+    return table_classes
+
+
+def rdb2owl_object_properties(
+    specs: list[TableSpec], table_classes: dict[str, str]
+) -> dict[str, DomRan]:
+    """Rules r1-r8 (ObjectPropExtractor.java:34-140) with A5 merging."""
+    props: dict[str, DomRan] = {}
+    by_name = {s.name: s for s in specs}
+
+    def cls(table: str) -> str | None:
+        return table_classes.get(table)
+
+    def add(rule: str, domain: str, range_: str, name: str | None = None) -> None:
+        name = name or naming.pure_obj_property(domain, range_)
+        props.setdefault(name, DomRan()).union(rule, domain, range_)
+
+    for spec in specs:
+        this = cls(spec.name)
+        inter = _pk_fk_intersection(spec)
+
+        # r1: non-PK FK onto a PK column of another class
+        for fk in spec.fks:
+            other = cls(fk.ref_table)
+            ref_spec = by_name.get(fk.ref_table)
+            if (
+                this and other and this != other
+                and fk.column not in spec.pks
+                and ref_spec is not None and fk.ref_column in ref_spec.pks
+            ):
+                add("r1", this, other)
+                add("r1 inv", other, this)
+
+        # r2: composite key with FK overlap plus extra attributes
+        if this and len(spec.pks) > 1 and inter and len(spec.columns) > len(spec.pks):
+            for key in inter:
+                fkp = next((fk for fk in spec.fks if fk.column == key), None)
+                if fkp:
+                    other = cls(fkp.ref_table)
+                    if other and other != this:
+                        add("r2", this, other)
+
+        # r3/r4: PK ⊆ FK relates every referenced class pair (and the table)
+        if _pks_subset_fks(spec):
+            for fk1 in spec.fks:
+                o1 = cls(fk1.ref_table)
+                if not o1:
+                    continue
+                for fk2 in spec.fks:
+                    o2 = cls(fk2.ref_table)
+                    if o2 and o1 != o2:
+                        add("r3", o1, o2)
+                    if this:
+                        if this != o1:
+                            add("r4", o1, this)
+                        if o2 and this != o2:
+                            add("r4", o2, this)
+
+        # r6: even composite key entirely referencing ONE table → symmetric
+        if len(spec.pks) % 2 == 0 and len(spec.pks) > 0 and _pks_subset_fks(spec):
+            refs = {
+                cls(fk.ref_table)
+                for fk in spec.fks
+                if fk.column in inter and cls(fk.ref_table)
+            }
+            if len(refs) == 1:
+                c = refs.pop()
+                add("r6", c, c, name=f"has_{c}")
+
+        # r7: FK to own PK → symmetric self-reference
+        if this:
+            for fk in spec.fks:
+                if fk.ref_table == spec.name and fk.ref_column in spec.pks:
+                    add("r7", this, this, name=f"has_{this}")
+
+        # r8 (U2): shared non-PK FK targets across tables
+        if this:
+            mine = _fk_pk_difference(spec)
+            if mine:
+                for other_spec in specs:
+                    other = cls(other_spec.name)
+                    if other and other != this and mine & _fk_pk_difference(other_spec):
+                        add("r8", this, other)
+
+    return props
+
+
 # --- the transcripts PO (fixed: schema is pinned by the input hint) ---------
 
 CONVERSATION_SPEC = TableSpec(

@@ -200,7 +200,16 @@ def _vote_exprs(c: str) -> list[Column]:
         cnt(~sent & ~is_int, "n_bad_int"),
         cnt(~sent & ~is_int & ~is_dbl, "n_bad_dbl"),
         cnt(~sent & ~v.isin("0", "1", "true", "false"), "n_not_bool"),
-        F.countDistinct(F.when(~sent, v)).alias(f"n_distinct__{c}"),
+        # distinct count matters ONLY inside the 4-value bool lexicon (the
+        # bool branch requires n_not_bool == 0), so four has-flags replace
+        # countDistinct — exact semantics without the multi-distinct Expand
+        # (a 7x map-side row blowup at scale).
+        (
+            F.max(F.when(~sent & (v == "0"), 1).otherwise(0))
+            + F.max(F.when(~sent & (v == "1"), 1).otherwise(0))
+            + F.max(F.when(~sent & (v == "true"), 1).otherwise(0))
+            + F.max(F.when(~sent & (v == "false"), 1).otherwise(0))
+        ).alias(f"n_distinct__{c}"),
         F.max(F.when(~sent & v.isin("0", "false"), True)).alias(f"has_zf__{c}"),
         F.max(F.when(~sent & v.isin("1", "true"), True)).alias(f"has_ot__{c}"),
     ]
