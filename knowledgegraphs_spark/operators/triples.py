@@ -82,7 +82,10 @@ def _triple_struct(subj: Column, pred: Column | str, obj: Column, dtype: str | N
 
 
 def emit_table_triples_single_pass(
-    df: DataFrame, spec: TableSpec, po: PutativeOntology
+    df: DataFrame,
+    spec: TableSpec,
+    po: PutativeOntology,
+    extra_arrays: list[Column] | None = None,
 ) -> DataFrame:
     """Single-scan triple emission for tables whose FK values ARE the
     referenced PKs (no join needed — the transcripts case): every row
@@ -132,6 +135,7 @@ def emit_table_triples_single_pass(
                 ),
             ).otherwise(F.array().cast("array<struct<subj:string,pred:string,obj:string,obj_dtype:string,is_literal:boolean>>"))
         )
+    arrays.extend(extra_arrays or [])
     exploded = df.select(F.explode(F.concat(*arrays)).alias("t"))
     return exploded.select("t.subj", "t.pred", "t.obj", "t.obj_dtype", "t.is_literal")
 
@@ -195,17 +199,41 @@ def emit_table_triples(
     return reduce(lambda a, b: a.unionByName(b), pieces)
 
 
-def emit_transcript_triples(turns: DataFrame, po: PutativeOntology) -> DataFrame:
-    """Structural triples for the transcripts input: Conversation rows are the
-    distinct conv_ids (a map-side-combinable aggregate), Turn rows the input.
-    Both sides emit in a single scan each (see
-    :func:`emit_table_triples_single_pass`)."""
+def emit_transcript_triples(
+    turns: DataFrame, po: PutativeOntology, first_turn_marker: bool = True
+) -> DataFrame:
+    """Structural triples for the transcripts input.
+
+    With ``first_turn_marker`` (default), Conversation-row triples piggyback
+    on the ``turn_idx == 0`` row of each conversation — turn indices are
+    0-based and dense (``ingest`` + the row_number derivations guarantee
+    it), so that row exists exactly once per conversation. The whole table
+    then emits in ONE scan with ZERO extra shuffle; the alternative
+    (``dropDuplicates(conv_id)``) costs a second scan plus a hash exchange,
+    which ``.explain`` showed doubling the structural-emission stage count.
+    It also makes the streaming path stateless: turn 0 lands in exactly one
+    micro-batch, so exactly-once needs no dedup state.
+    Pass ``first_turn_marker=False`` for inputs where turn 0 may be absent.
+    """
     conv_spec = po.tables["conversation"]
     turn_spec = po.tables["turn"]
-    conversations = turns.select("conv_id").dropDuplicates(["conv_id"])
-    conv_triples = emit_table_triples_single_pass(conversations, conv_spec, po)
-    turn_triples = emit_table_triples_single_pass(turns, turn_spec, po)
-    return conv_triples.unionByName(turn_triples)
+    if not first_turn_marker:
+        conversations = turns.select("conv_id").dropDuplicates(["conv_id"])
+        conv_triples = emit_table_triples_single_pass(conversations, conv_spec, po)
+        turn_triples = emit_table_triples_single_pass(turns, turn_spec, po)
+        return conv_triples.unionByName(turn_triples)
+    conv_subj = F.concat_ws(
+        "_", F.lit(f"{BASE_PREFIX}{conv_spec.class_name}_{conv_spec.table_id}"),
+        F.col("conv_id").cast("string"),
+    )
+    empty = F.array().cast(
+        "array<struct<subj:string,pred:string,obj:string,obj_dtype:string,is_literal:boolean>>"
+    )
+    conv_type = F.when(
+        F.col("turn_idx") == 0,
+        F.array(_triple_struct(conv_subj, RDF_TYPE, class_uri(conv_spec.class_name), None, False)),
+    ).otherwise(empty)
+    return emit_table_triples_single_pass(turns, turn_spec, po, extra_arrays=[conv_type])
 
 
 def write_triples(triples: DataFrame, path: str, n_buckets: int = 32) -> None:
