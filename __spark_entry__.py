@@ -295,7 +295,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from knowledgegraphs_spark.operators.dedup import minhash_lsh_candidates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    return minhash_lsh_candidates(docs, k=16, bands=4, n=3)
+    # family="md5" = the DuckDB-reproducible hash family for the oracle
+    # gate; production default is seed-salted xxhash64 (codegen'd, ~15x)
+    return minhash_lsh_candidates(docs, k=16, bands=4, n=3, family="md5")
 
 
 def _minhash_sql(k: int = 16, bands: int = 4) -> str:

@@ -40,19 +40,50 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
     )
 
 
-def minhash_signature(text_col: str, k: int = 16, n: int = 3):
-    """k-permutation MinHash signature as an array of md5 strings: the i-th
-    hash is min(md5(i || '|' || shingle)). Salted md5 = k independent hash
-    families, identical in any engine."""
+# sorts after every lowercase-hex md5 digest → safe "+infinity" sentinel
+_MINHASH_SENTINEL = "~"
+
+
+def minhash_signature(text_col: str, k: int = 16, n: int = 3, family: str = "xxhash64"):
+    """k-permutation MinHash signature: the i-th hash is min over shingles
+    of a salted hash. Returns NULL for shingle-less docs (callers filter),
+    matching the oracle's ``len(sh) > 0``.
+
+    ``family="xxhash64"`` (default, the 100-TB path): seed-salted native
+    64-bit hashing, whole-stage codegen'd — k hashes per shingle are cheap
+    longs. ``family="md5"``: hex-string digests (min under string order),
+    bit-identical to the DuckDB oracle twin — keep for correctness gates,
+    ~15× slower (one JVM MessageDigest call per (shingle, salt)).
+
+    Shape matters either way: ONE ``transform`` computes all k salted
+    hashes per shingle, then ``aggregate``+``zip_with(least)`` folds the
+    element-wise min. The naive form — k separate
+    ``array_min(transform(shingles,...))`` — inlines the shingle expression
+    k times after Catalyst project collapse, and interpreted evaluation
+    then rebuilds the shingle array per element: O(k·|sh|²) string work per
+    row, which turned a seconds-scale scan into a hang at 5 000 docs."""
     sh = shingles(F.col(text_col), n)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(sh, lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            )
-            for i in range(k)
-        ]
+    if family == "md5":
+        per_shingle = F.transform(
+            sh, lambda s: F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(k)])
+        )
+        init = F.array_repeat(F.lit(_MINHASH_SENTINEL), k)
+    else:
+        # fixed-width hex so string `least` == numeric min; one code path
+        # for both families
+        per_shingle = F.transform(
+            sh,
+            lambda s: F.array(
+                *[F.lpad(F.hex(F.xxhash64(F.lit(i), s)), 16, "0") for i in range(k)]
+            ),
+        )
+        init = F.array_repeat(F.lit(_MINHASH_SENTINEL), k)
+    folded = F.aggregate(
+        per_shingle,
+        init,
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
     )
+    return F.when(F.size(sh) > 0, folded)
 
 
 def minhash_lsh_candidates(
@@ -62,6 +93,7 @@ def minhash_lsh_candidates(
     k: int = 16,
     bands: int = 4,
     n: int = 3,
+    family: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing ≥1 LSH band.
 
@@ -69,10 +101,10 @@ def minhash_lsh_candidates(
     md5(concat of the band's hashes). Docs sharing a band key collide.
     One shuffle per plan (explode band keys → self-join on key)."""
     rows = k // bands
-    sig = minhash_signature(text_col, k, n)
+    sig = minhash_signature(text_col, k, n, family)
     banded = docs.select(
         F.col(id_col).alias("doc_id"), sig.alias("sig")
-    ).select(
+    ).filter(F.col("sig").isNotNull()).select(
         "doc_id",
         F.explode(
             F.array(

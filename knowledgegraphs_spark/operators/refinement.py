@@ -99,9 +99,12 @@ def mapping_extension(
     tp = tgt_edges.select(F.col("child").alias("t_from"), F.col("parent").alias("t_to"))
     tc = tgt_edges.select(F.col("parent").alias("t_from"), F.col("child").alias("t_to"))
 
-    expansion = seeds.select("src", "tgt").distinct()
+    # every round materializes (localCheckpoint) — the new frontier is used
+    # twice (emptiness probe + union) and feeds the next round's joins, so
+    # an unmaterialized plan would re-execute the whole chain each round.
+    expansion = seeds.select("src", "tgt").distinct().localCheckpoint(eager=True)
     frontier = expansion
-    for i in range(max_iter):
+    for _ in range(max_iter):
         up = (
             frontier.join(sp, frontier["src"] == sp["s_from"])
             .join(tp, frontier["tgt"] == tp["t_from"])
@@ -117,14 +120,12 @@ def mapping_extension(
             .distinct()
             .join(expansion, ["src", "tgt"], "left_anti")
             .filter(score_fn(F.col("src"), F.col("tgt")) >= kappa)
+            .localCheckpoint(eager=True)
         )
         if cands.isEmpty():
             break
-        expansion = expansion.unionByName(cands)
+        expansion = expansion.unionByName(cands).localCheckpoint(eager=True)
         frontier = cands
-        if (i + 1) % 4 == 0:
-            expansion = expansion.localCheckpoint(eager=True)
-            frontier = frontier.localCheckpoint(eager=True)
     return expansion.withColumn("score", score_fn(F.col("src"), F.col("tgt")))
 
 

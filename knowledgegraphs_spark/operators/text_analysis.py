@@ -85,16 +85,25 @@ def fingerprint(text: Column) -> Column:
 
 def shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text (empty array when the
-    document has fewer than n tokens)."""
+    document has fewer than n tokens).
+
+    Built as ``zip_with`` over n shifted ``slice``s of the token array —
+    NOT ``transform(sequence, i -> element_at(toks, i+j))``: a lambda
+    body referencing ``toks`` re-derives the whole tokenize expression
+    (regexp + lower + split) per element after Catalyst inlining, turning
+    shingling O(|tokens|²) per row (observed: a 5 000-doc MinHash pass
+    going from minutes to seconds on this change alone)."""
     toks = tokens_col(normalize_text(text))
     k = F.size(toks) - (n - 1)
-    return F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    safe_k = F.greatest(k, F.lit(0))
+    out = F.slice(toks, 1, safe_k)
+    for j in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(toks, 1 + j, safe_k),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.when(k > 0, out).otherwise(F.array().cast("array<string>"))
 
 
 def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
