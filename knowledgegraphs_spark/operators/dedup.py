@@ -181,16 +181,21 @@ def ngram_jaccard_pairs(
 
 
 def simhash64_python(text: str) -> int:
-    """64-bit SimHash over whitespace tokens, md5-based bit hashes."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in (text or "").lower().split():
-        h = int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
-        for bit in range(64):
-            acc[bit] += 1 if (h >> bit) & 1 else -1
-    out = 0
-    for bit in range(64):
-        if acc[bit] > 0:
-            out |= 1 << bit
+    """64-bit SimHash over whitespace tokens, md5-based bit hashes.
+
+    The per-token 64-bit vote is vectorized (one numpy unpack per doc, no
+    per-bit Python loop — the loop version cost ~8k interpreter ops per
+    document and dominated the stage)."""
+    toks = (text or "").lower().split()
+    if not toks:
+        return 0
+    hs = np.frombuffer(
+        b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks),
+        dtype=">u8",
+    ).astype(np.uint64)
+    bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    out = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
