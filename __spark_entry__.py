@@ -996,6 +996,34 @@ FROM pairs GROUP BY ctx, element
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# per-conversation episode segmentation (grouped windows / applyInPandas slot)
+# ---------------------------------------------------------------------------
+
+
+def q_conversation_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-gap sessionization per conversation — window fast path (the
+    applyInPandas twin is asserted equal in pytest)."""
+    from knowledgegraphs_spark.operators.episodes import episode_ids
+
+    return episode_ids(_turns_from_events(spark, sf_dir), gap_seconds=300)
+
+
+_EPISODES_SQL = f"""
+{_TURNS_NORM_SQL},
+lagged AS (
+  SELECT conv_id, turn_idx,
+         cast(floor(epoch(ts)) AS BIGINT) AS sec,
+         lag(cast(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM turns
+)
+SELECT conv_id, turn_idx,
+       cast(sum(CASE WHEN prev IS NULL OR sec - prev > 300 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) AS int) AS episode
+FROM lagged
+""".strip()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_structural": q_kg_triples_structural,
@@ -1015,6 +1043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_mapping_extension": q_mapping_extension,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
+        "w6_conversation_episodes": q_conversation_episodes,
         "t1_text_profile": q_text_profile,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1070,6 +1099,7 @@ def oracle_sql() -> dict[str, str]:
         "g6_mapping_extension": _G6_SQL,
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
+        "w6_conversation_episodes": _EPISODES_SQL,
         "t1_text_profile": _TEXT_PROFILE_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
