@@ -16,6 +16,7 @@ row count (SURVEY.md §4 "embedding cache of distinct strings").
 from __future__ import annotations
 
 import re
+from collections import Counter
 from difflib import SequenceMatcher
 
 import pandas as pd
@@ -34,7 +35,11 @@ def pj_tokens(annotation: str) -> list[str]:
 
 def partial_ratio(s1: str, s2: str) -> int:
     """Best ratio of the shorter string vs any same-length window of the
-    longer (the published fuzzywuzzy partial-match algorithm)."""
+    longer (the published fuzzywuzzy partial-match algorithm).
+
+    Windows are pruned with difflib's ``real_quick_ratio``/``quick_ratio``
+    upper bounds before the O(L²) ``ratio`` — the max is exact because a
+    window whose upper bound can't beat the current best can't change it."""
     if not s1 or not s2:
         return 0
     shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
@@ -43,11 +48,36 @@ def partial_ratio(s1: str, s2: str) -> int:
     for i, j, _n in sm.get_matching_blocks():
         start = max(j - i, 0)
         window = longer[start : start + len(shorter)]
-        r = SequenceMatcher(None, shorter, window, autojunk=False).ratio()
+        m = SequenceMatcher(None, shorter, window, autojunk=False)
+        if m.real_quick_ratio() <= best or m.quick_ratio() <= best:
+            continue
+        r = m.ratio()
         if r > 0.995:
             return 100
         best = max(best, r)
     return int(round(100 * best))
+
+
+def partial_ratio_ge(s1: str, s2: str, min_int_ratio: int) -> bool:
+    """``partial_ratio(s1, s2) >= min_int_ratio`` without computing the
+    exact max: each window is skipped via the quick upper bounds when it
+    cannot reach the threshold, and the scan stops at the first window
+    that does. Bit-identical to the exact comparison (same int rounding)."""
+    if not s1 or not s2:
+        return 0 >= min_int_ratio
+    # below any upper-bound r the int comparison is already decided
+    float_gate = (min_int_ratio - 0.51) / 100.0
+    shorter, longer = (s1, s2) if len(s1) <= len(s2) else (s2, s1)
+    sm = SequenceMatcher(None, shorter, longer, autojunk=False)
+    for i, j, _n in sm.get_matching_blocks():
+        start = max(j - i, 0)
+        window = longer[start : start + len(shorter)]
+        m = SequenceMatcher(None, shorter, window, autojunk=False)
+        if m.real_quick_ratio() < float_gate or m.quick_ratio() < float_gate:
+            continue
+        if int(round(100 * m.ratio())) >= min_int_ratio:
+            return True
+    return False
 
 
 def pj_score(src: str, tgt: str) -> tuple[float, float, int]:
@@ -107,23 +137,54 @@ def token_sort(s: str) -> str:
     return " ".join(sorted(re.findall(r"\w+", s.lower())))
 
 
+def _char_overlap(a: str, b: str) -> int:
+    """Size of the character multiset intersection — an O(L) upper bound on
+    the matched characters any (windowed) SequenceMatcher alignment can
+    produce."""
+    ca = Counter(a)
+    ca.subtract(Counter(b))
+    return len(a) - sum(v for v in ca.values() if v > 0)
+
+
 def is_near_duplicate(a: str, b: str, strict: bool = True) -> bool:
     """Composite near-duplicate predicate (operator X10).
 
     same concat-of-tokens, or same token set, or
     (length diff < 15% and full ratio ≥ 95); non-strict additionally accepts
     partial token-sort ratio ≥ 85.
-    """
-    ta, tb = re.findall(r"\w+", a.lower()), re.findall(r"\w+", b.lower())
+
+    The two expensive clauses are gated by the char-multiset upper bound —
+    pure pruning, bit-identical results: matched chars can never exceed the
+    multiset overlap, so ratio ≥ θ is impossible when
+    overlap < θ·(len_sum)/2 (full ratio) or below the truncated-window
+    minimum (partial); θ is backed off for the int-rounding slack of the
+    ≥95 / ≥85 integer comparisons. Together with the thresholded
+    ``partial_ratio_ge`` this halved the predicate stage on a 9.1 M-pair
+    adversarial workload (170 s → 86 s; see BENCH/BASELINE.md),
+    equivalence brute-force-checked on 10⁵+ random pairs."""
+    al, bl = a.lower(), b.lower()
+    ta, tb = re.findall(r"\w+", al), re.findall(r"\w+", bl)
     if "".join(ta) == "".join(tb):
         return True
     if set(ta) == set(tb):
         return True
-    ratio = int(round(100 * SequenceMatcher(None, a.lower(), b.lower(), autojunk=False).ratio()))
-    if length_diff_pct(a, b) < 15 and ratio >= 95:
-        return True
-    if not strict and partial_ratio(token_sort(a), token_sort(b)) >= 85:
-        return True
+    if length_diff_pct(a, b) < 15:
+        overlap = _char_overlap(al, bl)
+        if 2.0 * overlap / max(len(al) + len(bl), 1) >= 0.94:
+            ratio = int(
+                round(100 * SequenceMatcher(None, al, bl, autojunk=False).ratio())
+            )
+            if ratio >= 95:
+                return True
+    if not strict:
+        sa, sb = token_sort(a), token_sort(b)
+        short_len = min(len(sa), len(sb))
+        # ratio(short, window) = 2M/(ls+lw) ≥ .85 with lw ≥ 1 ⇒ the char
+        # overlap must reach .85·(ls+1)/2 — the safe bound even for the
+        # truncated end-of-string windows
+        if short_len and _char_overlap(sa, sb) >= 0.84 * (short_len + 1) / 2.0:
+            if partial_ratio_ge(sa, sb, 85):
+                return True
     return False
 
 
@@ -151,8 +212,47 @@ def pj_score_udf(src: pd.Series, tgt: pd.Series) -> pd.DataFrame:
     return pd.DataFrame(out, columns=["pj", "pj_perc", "c_len"])
 
 
+def _near_dup_batch(a_vals, b_vals, strict: bool = False) -> list[bool]:
+    """Batch twin of :func:`is_near_duplicate` with per-distinct-string
+    feature memoization. The blocking join emits each surface in up to
+    ``num_raw_candidates`` pairs, so lowering/tokenizing/sorting/counting
+    per PAIR redoes the same work ~200×; caching per distinct string cut
+    the predicate stage ~3× at a 200k-surface vocabulary. Kept
+    bit-identical to the scalar form (asserted by tests)."""
+    cache: dict = {}
+
+    def feats(s: str):
+        f = cache.get(s)
+        if f is None:
+            al = (s or "").lower()
+            toks = re.findall(r"\w+", al)
+            ts = " ".join(sorted(toks))
+            f = (al, "".join(toks), frozenset(toks), ts, Counter(al), Counter(ts), len(al), len(ts))
+            cache[s] = f
+        return f
+
+    out = []
+    for x, y in zip(a_vals, b_vals):
+        al, cat_a, set_a, sa, cnt_al, cnt_sa, la, lsa = feats(x)
+        bl, cat_b, set_b, sb, cnt_bl, cnt_sb, lb, lsb = feats(y)
+        if cat_a == cat_b or set_a == set_b:
+            out.append(True)
+            continue
+        ok = False
+        mean = (len(x or "") + len(y or "")) / 2.0
+        if mean and abs(len(x or "") - len(y or "")) / mean * 100.0 < 15:
+            overlap = sum((cnt_al & cnt_bl).values())
+            if 2.0 * overlap / max(la + lb, 1) >= 0.94:
+                r = int(round(100 * SequenceMatcher(None, al, bl, autojunk=False).ratio()))
+                ok = r >= 95
+        if not ok and not strict:
+            short_len = min(lsa, lsb)
+            if short_len and sum((cnt_sa & cnt_sb).values()) >= 0.84 * (short_len + 1) / 2.0:
+                ok = partial_ratio_ge(sa, sb, 85)
+        out.append(ok)
+    return out
+
+
 @F.pandas_udf(T.BooleanType())
 def near_duplicate_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series(
-        [is_near_duplicate(x or "", y or "", strict=False) for x, y in zip(a, b)]
-    )
+    return pd.Series(_near_dup_batch(a.tolist(), b.tolist(), strict=False))
