@@ -1024,6 +1024,78 @@ FROM lagged
 """.strip()
 
 
+# ---------------------------------------------------------------------------
+# t2: token statistics (whitespace + BPE-ish) and rolling-hash fingerprint
+# ---------------------------------------------------------------------------
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from knowledgegraphs_spark.operators.text_analysis import (
+        bpe_ish_token_count,
+        rolling_hash_fingerprint,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_ish_tokens"),
+        rolling_hash_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+_T2_SQL = """
+SELECT doc_id,
+  len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS ws_tokens,
+  cast(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS int) AS bpe_ish_tokens,
+  list_reduce(
+    list_prepend(0::BIGINT,
+      list_transform(
+        list_filter(regexp_split_to_array(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ''), c -> c <> ''),
+        c -> ascii(c)::BIGINT)),
+    (acc, x) -> (acc * 131 + x) % 2147483647) AS rolling_fp
+FROM documents
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# d5: exact embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force variant (the LSH-blocked production path is
+    pytest-asserted to be a subset of this)."""
+    from knowledgegraphs_spark.functions.embeddings import cosine_col
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.35)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+_D5_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(
+    list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) >= 0.35
+""".strip()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples_structural": q_kg_triples_structural,
@@ -1045,6 +1117,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
         "t1_text_profile": q_text_profile,
+        "t2_token_stats": q_token_stats,
+        "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
         "d3_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1101,6 +1175,8 @@ def oracle_sql() -> dict[str, str]:
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,
         "t1_text_profile": _TEXT_PROFILE_SQL,
+        "t2_token_stats": _T2_SQL,
+        "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
         "d3_dedup_ngram_jaccard": _JACCARD_SQL,

@@ -106,6 +106,32 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.when(k > 0, out).otherwise(F.array().cast("array<string>"))
 
 
+# GPT-2-style pre-tokenizer simplification: letter runs, single digits,
+# punctuation marks — the "BPE-ish" token estimate for budget accounting
+BPE_ISH_RX = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+ROLLING_BASE = 131
+ROLLING_MOD = 2147483647  # 2^31-1: keeps acc*131+c inside bigint per step
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Approximate BPE token count (whitespace counting alone undercounts
+    punctuation-heavy text badly)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH_RX), 0))
+
+
+def rolling_hash_fingerprint(text: Column) -> Column:
+    """Polynomial rolling hash of the normalized text's code points —
+    an order-sensitive fingerprint cheap enough to fold in one pass
+    (``aggregate`` over the char array, whole-stage codegen)."""
+    chars = F.filter(F.split(normalize_text(text), ""), lambda c: c != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_BASE + F.ascii(c)) % ROLLING_MOD,
+    )
+
+
 def min_shingle_fingerprint(text: Column, n: int = 3) -> Column:
     """Rolling-hash-style fingerprint: min md5 over word n-gram shingles —
     robust to local edits (the 1-permutation MinHash)."""
