@@ -397,11 +397,41 @@ def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash bucket candidates (pandas UDF; rows-only check)."""
+    """SimHash bucket candidates (numpy-vectorized pandas UDF)."""
     from knowledgegraphs_spark.operators.dedup import simhash_candidates
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return simhash_candidates(docs)
+
+
+_D4_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS hv FROM toks
+), bits AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM h, (SELECT unnest(generate_series(0, 63)) AS b) b
+  GROUP BY doc_id, b.b
+), sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN acc > 0 THEN (1::HUGEINT << b) ELSE 0::HUGEINT END) AS u
+  FROM bits GROUP BY doc_id
+), signed AS (
+  SELECT d.doc_id,
+         cast(CASE WHEN coalesce(s.u, 0) >= 9223372036854775808::HUGEINT
+                   THEN coalesce(s.u, 0) - 18446744073709551616::HUGEINT
+                   ELSE coalesce(s.u, 0) END AS BIGINT) AS simhash
+  FROM documents d LEFT JOIN sh s USING (doc_id)
+), bucketed AS (
+  SELECT doc_id, simhash, simhash >> 48 AS bucket FROM signed
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming_distance
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+""".strip()
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1180,9 +1210,11 @@ def oracle_sql() -> dict[str, str]:
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
         "d3_dedup_ngram_jaccard": _JACCARD_SQL,
+        "d4_dedup_simhash": _D4_SQL,
         "s1_simsearch_topk": _SIMSEARCH_SQL,
-        # d4_dedup_simhash, s2_simsearch_lsh, m1_multimodal_features: pandas-
-        # UDF paths, not SQL-expressible → rows-only driver check + pytest.
+        # s2_simsearch_lsh (numpy hyperplanes), m1_multimodal_features
+        # (binary codec), kg_triples_full (pandas predicate + iterative CC):
+        # not SQL-expressible → rows-only driver check + pytest.
     }
 
 
