@@ -29,13 +29,12 @@ TRANSCRIPT_SCHEMA = T.StructType(
 def streaming_triples(stream: DataFrame) -> DataFrame:
     """Apply the SAME normalization + emission plan the batch path uses.
 
-    The Conversation-row dedup (``dropDuplicates("conv_id")``) becomes a
-    *stateful* streaming dedup: a conversation whose turns span triggers
-    still emits its Conversation triples exactly once. State grows with
-    distinct conv_ids — on a real cluster back it with the RocksDB state
-    store (``spark.sql.streaming.stateStore.providerClass``) or bound it
-    with a watermark + ``dropDuplicatesWithinWatermark`` when conv_ids
-    don't recur beyond the late-data horizon."""
+    Conversation-row triples ride the ``turn_idx == 0`` marker row
+    (``emit_transcript_triples`` default), which lands in exactly one
+    micro-batch — so the streaming plan is fully STATELESS and still
+    exactly-once: no dedup state store, no watermark, nothing to size.
+    (With ``first_turn_marker=False`` the dropDuplicates fallback would
+    become a stateful streaming dedup growing with distinct conv_ids.)"""
     from ..operators.po_extraction import transcript_po
     from ..operators.triples import emit_transcript_triples
     from ..sources.transcripts import ingest
