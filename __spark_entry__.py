@@ -1095,16 +1095,33 @@ FROM documents
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact brute-force variant (the LSH-blocked production path is
-    pytest-asserted to be a subset of this)."""
-    from knowledgegraphs_spark.functions.embeddings import cosine_col
-
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    """Exact brute-force variant over the first 1000 vectors — the bounded
+    correctness gate; the LSH-blocked ``embedding_near_duplicates`` operator
+    is the unbounded production path (pytest-asserted a subset of exact).
+    Norms precomputed per side: n norm folds, not n²."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    base = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    a = base.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_col(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
         .filter(F.col("cosine") >= 0.35)
         .select("id_a", "id_b", "cosine")
     )
@@ -1118,7 +1135,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
        * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE round(
+WHERE a.vec_id < 1000 AND b.vec_id < 1000 AND round(
     list_sum(list_transform(generate_series(1, len(a.embedding)),
              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
     / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
