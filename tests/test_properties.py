@@ -35,9 +35,14 @@ def test_valid_name_is_iri_safe_and_idempotent(s):
 
 @settings(max_examples=200)
 @given(text)
-def test_normalise_idempotent(s):
-    once = normalise(s)
-    assert normalise(once) == once
+def test_normalise_invariants(s):
+    # NOT idempotent by design: the reference's left-to-right substring
+    # removal of "p " can leave a new adjacency a second pass would strip
+    # (hypothesis found 'pp  ' → 'p ' → ''). The true invariants:
+    out = normalise(s)
+    assert out == normalise(s)  # deterministic
+    assert not re.search(r"[\[\],_]", out)  # strip chars + '_' gone
+    assert out == out.lower()
 
 
 @settings(max_examples=300)
