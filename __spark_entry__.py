@@ -387,13 +387,66 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 """.strip()
 
 
+_LSH_DIM = 64  # embedding width of the test tables
+
+
 def q_simsearch_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (pandas-UDF buckets; rows-only check,
-    recall vs brute force asserted in pytest)."""
+    """LSH-bucketed approximate top-5. Hyperplanes are md5-derived
+    constants and buckets use the sequential-fold JVM expression, so the
+    DuckDB oracle (same plane literals inlined) reproduces the exact
+    candidate sets — a fully value-checked ANN query."""
     from knowledgegraphs_spark.operators.simsearch import lsh_topk
 
     emb = _t(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=5, n_bits=4, rotations=6)
+    return lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_bits=4, rotations=6,
+        expr_buckets_dim=_LSH_DIM,
+    )
+
+
+def _lsh_sql(k: int = 5, n_bits: int = 4, rotations: int = 6, dim: int = _LSH_DIM) -> str:
+    from knowledgegraphs_spark.operators.simsearch import _hyperplanes
+
+    rot_cols = []
+    for r in range(rotations):
+        planes = _hyperplanes(dim, n_bits, r)
+        bits = []
+        for b in range(n_bits):
+            plane_lit = "[" + ",".join(repr(float(v)) for v in planes[b]) + "]"
+            dot = (
+                f"list_sum(list_transform(generate_series(1, {dim}),"
+                f" i -> CAST(embedding[i] AS DOUBLE) * list_extract({plane_lit}, i)))"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        rot_cols.append(" + ".join(bits) + f" AS bucket_{r}")
+    cand_union = "\n  UNION ALL\n".join(
+        f"SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        f"FROM buckets q JOIN buckets c ON q.bucket_{r} = c.bucket_{r} "
+        f"AND q.vec_id < 20 AND q.vec_id <> c.vec_id"
+        for r in range(rotations)
+    )
+    return f"""
+WITH buckets AS (
+  SELECT vec_id, embedding, {', '.join(rot_cols)} FROM embeddings
+), cands AS (
+  SELECT DISTINCT query_id, neighbor_id FROM ({cand_union})
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+    round(
+      list_sum(list_transform(generate_series(1, {dim}),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+  FROM cands cd
+  JOIN embeddings q ON q.vec_id = cd.query_id
+  JOIN embeddings c ON c.vec_id = cd.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         cast(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS int) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+""".strip()
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1229,9 +1282,10 @@ def oracle_sql() -> dict[str, str]:
         "d3_dedup_ngram_jaccard": _JACCARD_SQL,
         "d4_dedup_simhash": _D4_SQL,
         "s1_simsearch_topk": _SIMSEARCH_SQL,
-        # s2_simsearch_lsh (numpy hyperplanes), m1_multimodal_features
-        # (binary codec), kg_triples_full (pandas predicate + iterative CC):
-        # not SQL-expressible → rows-only driver check + pytest.
+        "s2_simsearch_lsh": _lsh_sql(),
+        # m1_multimodal_features (binary codec) and kg_triples_full (pandas
+        # predicate + iterative CC): not SQL-expressible → rows-only driver
+        # check + pytest.
     }
 
 

@@ -80,6 +80,25 @@ def lsh_bucket_udf(n_bits: int, rotation: int):
     return bucket
 
 
+def lsh_bucket_expr(vec, dim: int, n_bits: int, rotation: int):
+    """JVM-expression twin of :func:`lsh_bucket_udf`: the sign bits come
+    from a *sequential* left-to-right dot-product fold, so any engine that
+    folds sequentially (DuckDB ``list_sum``) reproduces the exact buckets —
+    numpy's SIMD/pairwise summation can flip a sign on a near-zero dot,
+    which is fine for recall but breaks value-level oracle comparison."""
+    planes = _hyperplanes(dim, n_bits, rotation)
+    out = F.lit(0)
+    for b in range(n_bits):
+        plane = F.array(*[F.lit(float(v)) for v in planes[b]])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        out = out + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return out
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -88,6 +107,7 @@ def lsh_topk(
     rotations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    expr_buckets_dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: union of per-rotation bucket joins, exact cosine
     re-rank within candidates. ~2^n_bits× less work than brute force per
@@ -96,9 +116,13 @@ def lsh_topk(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     cand_parts = []
     for r in range(rotations):
-        bucket = lsh_bucket_udf(n_bits, r)
-        cb = c.withColumn("bucket", bucket(F.col("c_vec")))
-        qb = q.withColumn("bucket", bucket(F.col("q_vec")))
+        if expr_buckets_dim is not None:
+            cb = c.withColumn("bucket", lsh_bucket_expr(F.col("c_vec"), expr_buckets_dim, n_bits, r))
+            qb = q.withColumn("bucket", lsh_bucket_expr(F.col("q_vec"), expr_buckets_dim, n_bits, r))
+        else:
+            bucket = lsh_bucket_udf(n_bits, r)
+            cb = c.withColumn("bucket", bucket(F.col("c_vec")))
+            qb = q.withColumn("bucket", bucket(F.col("q_vec")))
         cand_parts.append(qb.join(cb, "bucket").drop("bucket"))
     cands = cand_parts[0]
     for part in cand_parts[1:]:
