@@ -489,11 +489,30 @@ FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: synthesize payloads, extract features via the
-    deterministic fake codec (rows-only check + pytest)."""
+    deterministic fake codec (mapInPandas over binary columns; the hex-
+    chain codec is reproduced in the DuckDB oracle)."""
     from knowledgegraphs_spark.operators.multimodal import extract_features, synthesize_media
 
     docs = _t(spark, sf_dir, "documents")
     return extract_features(synthesize_media(docs), use_fake_codec=True)
+
+
+def _multimodal_sql(dim: int = 16) -> str:
+    # payload bytes = unhex(md5(text) || md5('2|'||text)); .hex() of that is
+    # exactly the concatenated lowercase digests, so the chain starts there
+    h = "md5(text) || md5('2|' || text)"
+    feats = []
+    for _ in range(dim):
+        h = f"md5({h})"
+        feats.append(
+            "CAST(CAST(('0x' || substr(" + h + ", 1, 8))::UBIGINT AS DOUBLE) / 4294967296.0 AS FLOAT)"
+        )
+    return f"""
+SELECT doc_id AS media_id,
+       list_extract(['image','audio','video'], cast(doc_id % 3 AS int) + 1) AS kind,
+       [{', '.join(feats)}] AS features
+FROM documents
+""".strip()
 
 
 # ---------------------------------------------------------------------------
@@ -1283,9 +1302,10 @@ def oracle_sql() -> dict[str, str]:
         "d4_dedup_simhash": _D4_SQL,
         "s1_simsearch_topk": _SIMSEARCH_SQL,
         "s2_simsearch_lsh": _lsh_sql(),
-        # m1_multimodal_features (binary codec) and kg_triples_full (pandas
-        # predicate + iterative CC): not SQL-expressible → rows-only driver
-        # check + pytest.
+        "m1_multimodal_features": _multimodal_sql(),
+        # kg_triples_full (pandas predicate + iterative CC): the one
+        # genuinely non-SQL query → rows-only driver check; its P/R oracle
+        # lives in pytest (tests/oracle_kg.py, asserted at exactly 1.0).
     }
 
 

@@ -66,12 +66,14 @@ def synthesize_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 
 def _fake_decode(payload: bytes) -> np.ndarray:
     """Deterministic stand-in for a real codec: expands the payload into a
-    fixed-size float array via chained md5. Replace with the real decoder."""
+    fixed-size float array via an md5 chain over hex strings (hex, not raw
+    bytes, so the DuckDB oracle — whose md5 only takes VARCHAR — computes
+    the identical features). Replace with the real decoder."""
     out = np.zeros(FEATURE_DIM, dtype=np.float32)
-    h = payload or b""
+    h = (payload or b"").hex()
     for i in range(FEATURE_DIM):
-        h = hashlib.md5(h).digest()
-        out[i] = int.from_bytes(h[:4], "big") / 2**32
+        h = hashlib.md5(h.encode("utf-8")).hexdigest()
+        out[i] = np.float32(int(h[:8], 16) / 2**32)
     return out
 
 
