@@ -42,6 +42,10 @@ SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
 
 OPERATOR_QUERIES = [
     "kg_triples_structural",
+    "s9_json_kg_triples",
+    "g3_ancestor_closure",
+    "d2_dedup_minhash_lsh",
+    "t1_text_profile",
     "a3_agg_pricing_summary",
     "w1_topk_orders_per_customer",
     "j1_fk_join_customer_nation",
@@ -132,7 +136,11 @@ def main() -> None:
                 s = get_spark(f"kg-bench-scale-{n}", master=f"local[{n}]", shuffle_partitions=max(n * 2, 16))
                 try:
                     _warmup(s, tmp)
-                    secs, n_turns = _pipeline_seconds(s, input_path)
+                    # the high level is the neighbor-load-sensitive one and
+                    # its reps are short — give it extra samples so the
+                    # best-of survives a burst
+                    reps = REPS if n == n_low else max(REPS, 5)
+                    secs, n_turns = _pipeline_seconds(s, input_path, reps=reps)
                     tps[n] = round(n_turns / secs, 1)
                 finally:
                     s.stop()
