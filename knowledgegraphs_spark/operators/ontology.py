@@ -353,6 +353,291 @@ def _generalize(anc: str, rows: list[dict]) -> str:
 
 
 # ---------------------------------------------------------------------------
+# The complete D-stage per-element decision procedure
+# (MappingSelection.java:134-470) as exact pure functions. Candidate tables
+# are per-schema-element and vocabulary-scale, so this runs driver-side on
+# lists of dicts {tgt, bes, pj, pj_rank} (+ optional pj_perc / range);
+# the DataFrame forms above cover the row-scale pieces.
+# ---------------------------------------------------------------------------
+
+
+def select_table_optimal(cands: list[dict], bes_high=0.85, bes_low=0.6, pj_high=0.5):
+    """selectTableOptimal (:140-150): F4 threshold, rows at min PJRank, then
+    max PJPerc; first surviving candidate in input order."""
+    kept = [
+        c for c in cands
+        if c["bes"] >= bes_high or (c["bes"] >= bes_low and c["pj"] >= pj_high)
+    ]
+    if not kept:
+        return None
+    min_rank = min(c["pj_rank"] for c in kept)
+    kept = [c for c in kept if c["pj_rank"] <= min_rank]
+    max_perc = max(c.get("pj_perc", 0.0) for c in kept)
+    kept = [c for c in kept if c.get("pj_perc", 0.0) >= max_perc]
+    return kept[0]["tgt"]
+
+
+def select_optimal(cands: list[dict], filter_set=None, allow_union: bool = False):
+    """selectOptimal (:217-227): restrict to filter, keep min PJRank rows,
+    then (unless a union is allowed) max BES; a unique survivor is a string,
+    several are a frozenset."""
+    rows = [c for c in cands if filter_set is None or c["tgt"] in filter_set]
+    if not rows:
+        return None
+    min_rank = min(c["pj_rank"] for c in rows)
+    rows = [c for c in rows if c["pj_rank"] <= min_rank]
+    if len(rows) > 1 and not allow_union:
+        max_bes = max(c["bes"] for c in rows)
+        rows = [c for c in rows if c["bes"] >= max_bes]
+    return rows[0]["tgt"] if len(rows) == 1 else frozenset(c["tgt"] for c in rows)
+
+
+def class_uses_data_props(
+    tbox: TBox, cls: str, data_cands: list[dict], missing_ok: bool
+) -> set[str]:
+    """Data candidates whose inferred domain is compatible with ``cls``."""
+    return {
+        d["tgt"]
+        for d in data_cands
+        if are_compatible(tbox, tbox.prop_domain.get(d["tgt"]), cls, missing_ok)
+    }
+
+
+def filter_obj_cands_py(tbox: TBox, table_class, obj_cands: list[dict]) -> list[dict]:
+    """filterObjMap (:301-313): drop candidates whose domain exists while no
+    table class was chosen, or whose domain is incompatible with it."""
+    out = []
+    for c in obj_cands:
+        domain = tbox.prop_domain.get(c["tgt"])
+        if table_class is None and domain is not None:
+            continue
+        if not are_compatible(tbox, domain, table_class, missing_ok=True):
+            continue
+        out.append(c)
+    return out
+
+
+def filter_data_cands_py(tbox: TBox, po_range, data_cands: list[dict]) -> list[dict]:
+    """filterDataMap (:315-340) via the datatype families."""
+    return [
+        c for c in data_cands
+        if data_range_compatible(tbox.prop_range.get(c["tgt"]), po_range)
+    ]
+
+
+def find_nary_paths_py(
+    tbox: TBox,
+    obj_cands: list[dict] | None,
+    cls_cands: list[dict] | None,
+    data_cands: list[dict] | None,
+) -> list[tuple[str, str, str]]:
+    """findNaryPatterns (:351-389): (obj, cls, data) rows; '' marks an
+    absent member, exactly as the reference's placeholder."""
+    paths: list[tuple[str, str, str]] = []
+    cls_compatible_data: dict[str, set[str]] = {}
+    if cls_cands:
+        for k in cls_cands:
+            compat = (
+                class_uses_data_props(tbox, k["tgt"], data_cands, False)
+                if data_cands
+                else {""}
+            )
+            cls_compatible_data[k["tgt"]] = compat or {""}
+    if obj_cands and cls_cands:
+        for o in obj_cands:
+            rng = tbox.prop_range.get(o["tgt"])
+            for k in cls_cands:
+                if are_compatible(tbox, rng, k["tgt"], missing_ok=False):
+                    for d in cls_compatible_data[k["tgt"]]:
+                        paths.append((o["tgt"], k["tgt"], d))
+    used_cls = {c for _, c, _ in paths}
+    for k_tgt, compat in cls_compatible_data.items():
+        if compat and k_tgt not in used_cls:
+            for d in compat:
+                if d != "":
+                    paths.append(("", k_tgt, d))
+    return paths
+
+
+def _find_tops(col_values: set[str], cands: list[dict] | None) -> set[str]:
+    if not cands:
+        return set()
+    rows = [c for c in cands if c["tgt"] in col_values]
+    if not rows:
+        return set()
+    min_rank = min(c["pj_rank"] for c in rows)
+    return {c["tgt"] for c in rows if c["pj_rank"] <= min_rank}
+
+
+def select_from_nary_paths(
+    tbox: TBox,
+    paths: list[tuple[str, str, str]],
+    obj_cands: list[dict] | None,
+    cls_cands: list[dict] | None,
+    data_cands: list[dict] | None,
+):
+    """selectFromNaryPaths (:389-470): sum-of-PJRank argmin over paths,
+    merged with per-element tops; ambiguity on both sides rejects."""
+    obj_by = {c["tgt"]: c for c in (obj_cands or [])}
+    obj_top = _find_tops({o for o, _, _ in paths}, obj_cands)
+    cls_top = _find_tops({c for _, c, _ in paths}, cls_cands)
+    big = 2**31 - 1
+    sums = [
+        (big if o == "" else obj_by[o]["pj_rank"])
+        + next(k["pj_rank"] for k in cls_cands if k["tgt"] == c)
+        for (o, c, _) in paths
+    ]
+    min_sum = min(sums)
+    top_pairs = [p for p, s in zip(paths, sums) if s <= min_sum]
+    obj_top |= {o for o, _, _ in top_pairs}
+    cls_top |= {c for _, c, _ in top_pairs}
+    obj_top.discard("")
+    if len(obj_top) > 1 and len(cls_top) > 1:
+        return None, None, None
+    obj_optimal = next(iter(obj_top)) if len(obj_top) == 1 else None
+    cls_optimal = next(iter(cls_top)) if len(cls_top) == 1 else None
+    if obj_optimal is not None and len(cls_top) > 0:
+        cls_optimal = select_optimal(
+            cls_cands, {c for o, c, _ in paths if o == obj_optimal}, False
+        )
+    elif len(obj_top) > 0 and cls_optimal is not None:
+        obj_optimal = select_optimal(
+            obj_cands, {o for o, c, _ in paths if c == cls_optimal}, False
+        )
+    data_optimal = None
+    if data_cands:
+        data_optimal = _select_data_from_paths(
+            tbox, paths, data_cands, obj_optimal, cls_optimal
+        )
+    return obj_optimal, cls_optimal, data_optimal
+
+
+def _select_data_from_paths(tbox, paths, data_cands, obj_optimal, cls_optimal):
+    """selectDataOptimal over n-ary paths (:440-462)."""
+    compatible_domain = None
+    dc: set[str] = {""}
+    if cls_optimal is not None and isinstance(cls_optimal, str):
+        compatible_domain = cls_optimal
+        opt = [p for p in paths if p[1] == cls_optimal]
+        if obj_optimal is not None:
+            opt = [p for p in opt if p[0] == obj_optimal]
+        dc = {d for _, _, d in opt}
+    elif obj_optimal is not None and isinstance(obj_optimal, str):
+        compatible_domain = tbox.prop_range.get(obj_optimal)
+    dc.discard("")
+    if not dc:
+        dc = (
+            class_uses_data_props(tbox, compatible_domain, data_cands, True)
+            if compatible_domain is not None
+            else {c["tgt"] for c in data_cands}
+        )
+    return select_optimal(data_cands, dc, False) if dc else None
+
+
+def select_from_incompatible_paths(
+    tbox: TBox,
+    table_optimal,
+    obj_cands: list[dict] | None,
+    cls_cands: list[dict] | None,
+    data_cands: list[dict] | None,
+):
+    """selectFromIncompatiblePaths (:232-300): BES/PJ voting between the obj
+    and class winners when no n-ary path exists."""
+    obj_optimal = cls_optimal = data_optimal = None
+    compatible_domain: list[str] = []
+    if obj_cands and cls_cands:
+        obj_optimal = select_optimal(obj_cands, None, False)
+        cls_optimal = select_optimal(cls_cands, None, False)
+        obj_row = next(c for c in obj_cands if c["tgt"] == obj_optimal) if isinstance(obj_optimal, str) else None
+        cls_row = next(c for c in cls_cands if c["tgt"] == cls_optimal) if isinstance(cls_optimal, str) else None
+        if obj_row and cls_row:
+            obj_votes = cls_votes = 0
+            for crit in ("bes", "pj"):
+                mx = max(obj_row[crit], cls_row[crit])
+                obj_votes += 1 if obj_row[crit] == mx else 0
+                cls_votes += 1 if cls_row[crit] == mx else 0
+            rng = tbox.prop_range.get(obj_optimal)
+            compatible = are_compatible(tbox, rng, cls_optimal, missing_ok=True)
+            if obj_votes != cls_votes and not compatible:
+                if obj_votes > cls_votes:
+                    cls_optimal = None
+                else:
+                    obj_optimal = None
+                    cls_optimal = select_optimal(cls_cands, None, True)
+    elif obj_cands:
+        obj_optimal = select_optimal(obj_cands, None, False)
+    elif cls_cands:
+        cls_optimal = select_optimal(cls_cands, None, True)
+
+    if data_cands:
+        if cls_optimal is not None:
+            compatible_domain.extend(
+                [cls_optimal] if isinstance(cls_optimal, str) else sorted(cls_optimal)
+            )
+        elif obj_optimal is not None and isinstance(obj_optimal, str):
+            rng = tbox.prop_range.get(obj_optimal)
+            if rng is not None:
+                compatible_domain.append(rng)
+        elif table_optimal is not None:
+            compatible_domain.append(table_optimal)
+        if compatible_domain:
+            dc = class_uses_data_props(tbox, compatible_domain[0], data_cands, True)
+            for cd in compatible_domain[1:]:
+                dc &= class_uses_data_props(tbox, cd, data_cands, True)
+        else:
+            dc = {c["tgt"] for c in data_cands}
+        data_optimal = select_optimal(data_cands, dc, False)
+    return obj_optimal, cls_optimal, data_optimal
+
+
+def select_table_column_optimal(
+    tbox: TBox,
+    table_optimal,
+    obj_cands: list[dict] | None,
+    cls_cands: list[dict] | None,
+    data_cands: list[dict] | None,
+    po_data_range: str | None = None,
+    pj_reject: float = 0.2,
+    bes_reject: float = 0.3,
+    depth_thrs: int = 2,
+    reject_property_maps: bool = False,
+):
+    """The complete per-column decision (selectTableColumnOptimal,
+    MappingSelection.java:175-212): reject filters → domain/datatype
+    compatibility → hierarchy collapse → n-ary path selection, falling
+    back to the voting branch."""
+
+    def reject(cands):
+        return [
+            c for c in cands if c["pj"] >= pj_reject and c["bes"] >= bes_reject
+        ] if cands else cands
+
+    if obj_cands:
+        if reject_property_maps:
+            obj_cands = None
+        else:
+            obj_cands = filter_obj_cands_py(tbox, table_optimal, reject(obj_cands))
+            if obj_cands and len(obj_cands) > 1:
+                obj_cands = consider_hierarchies(tbox, obj_cands, depth_thrs)
+    if cls_cands:
+        cls_cands = reject(cls_cands)
+        if cls_cands and len(cls_cands) > 1:
+            cls_cands = consider_hierarchies(tbox, cls_cands, depth_thrs)
+    if data_cands:
+        if reject_property_maps:
+            data_cands = None
+        else:
+            data_cands = filter_data_cands_py(tbox, po_data_range, reject(data_cands))
+
+    paths = find_nary_paths_py(tbox, obj_cands or None, cls_cands or None, data_cands or None)
+    if paths:
+        return select_from_nary_paths(tbox, paths, obj_cands, cls_cands, data_cands)
+    return select_from_incompatible_paths(
+        tbox, table_optimal, obj_cands or None, cls_cands or None, data_cands or None
+    )
+
+
+# ---------------------------------------------------------------------------
 # J9/A7: PII flagging
 # ---------------------------------------------------------------------------
 
