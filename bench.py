@@ -45,6 +45,7 @@ OPERATOR_QUERIES = [
     "s9_json_kg_triples",
     "g3_ancestor_closure",
     "d2_dedup_minhash_lsh",
+    "d2b_dedup_minhash_xxhash64",
     "t1_text_profile",
     "a3_agg_pricing_summary",
     "w1_topk_orders_per_customer",

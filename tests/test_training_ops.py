@@ -126,3 +126,126 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert (1, 3) not in lsh
     jac = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(df, threshold=0.2).collect()}
     assert (1, 2) in jac and jac[(1, 2)] > 0.7
+
+
+# --- independent XXH64 twin: proves the production MinHash hash family ------
+
+_M64 = (1 << 64) - 1
+_P1, _P2, _P3, _P4, _P5 = (
+    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+)
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _xxh64(data: bytes, seed: int) -> int:
+    """Standard XXH64 (public-domain spec), written independently of Spark."""
+    n, i = len(data), 0
+
+    def rd8(j):
+        return int.from_bytes(data[j:j + 8], "little")
+
+    def rd4(j):
+        return int.from_bytes(data[j:j + 4], "little")
+
+    if n >= 32:
+        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
+        v3, v4 = seed & _M64, (seed - _P1) & _M64
+        while i + 32 <= n:
+            v1 = (_rotl((v1 + rd8(i) * _P2) & _M64, 31) * _P1) & _M64
+            v2 = (_rotl((v2 + rd8(i + 8) * _P2) & _M64, 31) * _P1) & _M64
+            v3 = (_rotl((v3 + rd8(i + 16) * _P2) & _M64, 31) * _P1) & _M64
+            v4 = (_rotl((v4 + rd8(i + 24) * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        h ^= (_rotl((rd8(i) * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        h ^= (rd4(i) * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def _spark_xxhash64_twin(i: int, s: str) -> int:
+    """Spark's F.xxhash64(lit(i), s): seed 42, each arg's hash seeds the
+    next; an int arg hashes as its 4 little-endian bytes, a string as its
+    UTF-8 bytes."""
+    import struct
+
+    return _xxh64(s.encode("utf-8"), _xxh64(struct.pack("<i", i), 42))
+
+
+def test_xxhash64_family_matches_independent_xxh64(spark):
+    """Value-check of the production (rows-only-in-the-driver) MinHash
+    family: Spark's salted xxhash64 and the folded signature both equal an
+    independent pure-Python XXH64 implementation."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.operators.dedup import minhash_signature
+    from knowledgegraphs_spark.operators.text_analysis import shingles
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "The U.S. dollar rose 0.5% against the euro today",
+        "short",
+        "a " * 40 + "tail",
+        "unicode café naïve über",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    k = 8
+    hash_cols = [F.xxhash64(F.lit(i), F.col("text")).alias(f"h{i}") for i in range(k)]
+    for r in df.select("text", *hash_cols).collect():
+        for i in range(k):
+            assert (r[f"h{i}"] & _M64) == _spark_xxhash64_twin(i, r["text"])
+
+    sig_rows = df.select(
+        shingles(F.col("text"), 3).alias("sh"),
+        minhash_signature("text", k=k, n=3, family="xxhash64").alias("sig"),
+    ).collect()
+    checked = 0
+    for r in sig_rows:
+        if not r["sh"]:
+            assert r["sig"] is None
+            continue
+        expect = [
+            format(min(_spark_xxhash64_twin(i, s) for s in r["sh"]), "016X")
+            for i in range(k)
+        ]
+        assert list(r["sig"]) == expect
+        checked += 1
+    assert checked >= 3
+
+
+def test_minhash_md5_and_xxhash_families_agree_on_planted_dups(spark):
+    from knowledgegraphs_spark.operators.dedup import minhash_lsh_candidates
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    rows = [(1, base), (2, base), (3, base.replace("w15", "w15x")),
+            (4, " ".join(f"z{i:02d}" for i in range(30))), (5, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for family in ("md5", "xxhash64"):
+        pairs = {(r.id_a, r.id_b)
+                 for r in minhash_lsh_candidates(df, k=16, bands=4, family=family).collect()}
+        assert (1, 2) in pairs, family          # exact dups always collide
+        assert not any(4 in p or 5 in p for p in pairs), family
