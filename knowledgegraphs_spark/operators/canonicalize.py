@@ -10,9 +10,11 @@ round is two shuffles, convergence in O(log n) rounds, with
 ``localCheckpoint`` every few rounds to truncate lineage. Component id =
 min node id — deterministic under any partitioning.
 
-Canonical representative per component: shortest surface, then most
-whitespace, then lexicographic (reference tie-break
-``NearDuplicates.py:91-102``; lexicographic added for full determinism).
+Canonical representative per component: the reference's pick over
+``process()`` features (``NearDuplicates.py:91-102``) — min token-concat
+length, then most whitespace in the punctuation-stripped form, returning
+that punctuation-stripped (noPunct) form; lexicographic-on-raw-surface
+added as the final tie-break for full determinism.
 """
 
 from __future__ import annotations
@@ -124,9 +126,25 @@ def connected_components(
 
 
 def canonical_pick(group: list[str]) -> str:
-    """Shortest, most whitespace, then lexicographic (reference tie-break
-    ``NearDuplicates.py:91-102``)."""
-    return min(group, key=lambda s: (len(s), -s.count(" "), s))
+    """Canonical representative per the reference's
+    ``groupNearDuplicates`` (``NearDuplicates.py:91-102``): the member
+    minimizing the punctuation-stripped token-concat length ``cLen``,
+    tie-break MOST whitespace in the noPunct form (``n_white =
+    len(noPunct) - len(concat)``), and the value returned is the member's
+    **noPunct** form (punctuation already replaced by spaces), exactly as
+    the reference stores ``processed[idx][0]``. The reference breaks full
+    ties by set-iteration order; we iterate members in sorted order for
+    determinism (documented deviation — the reference is
+    iteration-order-dependent there)."""
+    from ..functions.similarity import nd_process
+
+    best_key, best = None, None
+    for s in sorted(group):
+        no_punct, _toks, concat = nd_process(s)
+        key = (len(concat), -(len(no_punct) - len(concat)))
+        if best_key is None or key < best_key:
+            best_key, best = key, no_punct
+    return best
 
 
 def _canonical_mapping_python(
@@ -192,12 +210,21 @@ def canonical_mapping(
     labeled = ids.join(comp, "node", "left").withColumn(
         "component", F.coalesce("component", "node")
     )
-    whitespace = F.length("mention") - F.length(F.regexp_replace(F.col("mention"), " ", ""))
+    # reference pick keys (NearDuplicates.py:94-102), all JVM expressions:
+    # noPunct = punctuation→spaces (F.translate is the exact twin of
+    # str.translate), cLen = chars surviving \w-concat, n_white = the rest
+    import string as _string
+
+    no_punct = F.translate(F.col("mention"), _string.punctuation, " " * len(_string.punctuation))
+    concat_len = F.length(
+        F.regexp_replace(F.lower(no_punct), r"[^\p{L}\p{N}_]+", "")
+    )
+    n_white = F.length(no_punct) - concat_len
     w = W.partitionBy("component").orderBy(
-        F.length("mention").asc(), whitespace.desc(), F.col("mention").asc()
+        concat_len.asc(), n_white.desc(), F.col("mention").asc()
     )
     canon = labeled.withColumn(
         "canonical",
-        F.first("mention").over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
+        F.first(no_punct).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
     )
     return canon.select("mention", "canonical")

@@ -76,9 +76,21 @@ class UnionFind:
 
 
 def canonical_pick(group: set[str]) -> str:
-    """Shortest, then most whitespace, then lexicographic
-    (reference tie-break ``NearDuplicates.py:91-102``)."""
-    return min(group, key=lambda s: (len(s), -s.count(" "), s))
+    """Reference pick (``NearDuplicates.py:91-102``): min token-concat
+    length, then most whitespace in the noPunct form; returns the noPunct
+    form. Written as a literal loop over the reference's update rule."""
+    import math
+
+    from knowledgegraphs_spark.functions.similarity import nd_process
+
+    min_len, max_white, min_annot = math.inf, -1, None
+    for s in sorted(group):
+        annot, _toks, concat = nd_process(s)
+        n_white = len(annot) - len(concat)
+        c_len = len(concat)
+        if c_len < min_len or (c_len == min_len and n_white > max_white):
+            min_len, max_white, min_annot = c_len, n_white, annot
+    return min_annot
 
 
 def expected_components(edges: list[tuple[str, str]]) -> dict[str, str]:
@@ -105,7 +117,9 @@ def expected_near_dup_groups(surfaces: list[str]) -> dict[str, str]:
     ]
     mapping = expected_components(edges)
     for s in surfaces:
-        mapping.setdefault(s, s)
+        # singleton groups also canonicalize to their noPunct form —
+        # groupNearDuplicates stores processed[idx][0] for every set
+        mapping.setdefault(s, canonical_pick({s}))
     return mapping
 
 

@@ -62,6 +62,7 @@ def test_entity_catalog_canonicals(spark, tmp_path):
     cat = {r.canonical: set(r.surfaces) for r in res.entities.collect()}
     smith = [c for c in cat if "Smith" in c or "smith" in c]
     assert smith, cat.keys()
-    # shortest-then-most-whitespace tie-break picks "J. Smith"
-    assert "J. Smith" in smith
-    assert {"John Smith", "J. Smith"} <= cat["J. Smith"]
+    # reference pick: min token-concat length ("jsmith" beats "johnsmith"),
+    # and the stored canonical is the noPunct form of "J. Smith"
+    assert "J  Smith" in smith
+    assert {"John Smith", "J. Smith"} <= cat["J  Smith"]

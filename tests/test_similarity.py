@@ -81,3 +81,37 @@ def test_char_jaccard_and_lendiff():
 )
 def test_near_duplicate_predicate(a, b, expected):
     assert is_near_duplicate(a, b, strict=False) is expected
+
+
+# --- golden cases hand-derived from the reference's NearDuplicates.py -------
+# process(): punctuation→spaces, lowercased \w+ tokens, concat; predicate and
+# lenDiff/ratio run over concats, NOT raw strings (NearDuplicates.py:33-46).
+
+
+def test_near_duplicate_reference_golden():
+    # identical token concat through punctuation
+    assert is_near_duplicate("U.S. Dollar", "USDollar", strict=False)
+    assert is_near_duplicate("U.S. Dollar", "US Dollar", strict=False)
+    # identical token SET, different order/concat
+    assert is_near_duplicate("pressure blood", "blood pressure", strict=False)
+    # ratio over CONCATS: 2·10/21 → 95 ≥ 95, although the raw strings differ
+    # by 53 % in length (round-1 semantics returned False here)
+    assert is_near_duplicate("a b c d e f g h i j", "abcdefghijk", strict=False)
+    # strict: lenDiff over concats (9.5 < 15) and the same concat ratio
+    assert is_near_duplicate("a b c d e f g h i j", "abcdefghijk", strict=True)
+    # strict: concat lenDiff 50 ≥ 15 rejects before any ratio
+    assert not is_near_duplicate("abcdef", "abcdefghij", strict=True)
+    assert not is_near_duplicate("alpha beta", "gamma delta", strict=False)
+
+
+def test_canonical_pick_reference_golden():
+    from knowledgegraphs_spark.operators.canonicalize import canonical_pick
+
+    # cLen ties at 8; noPunct whitespace counts 3/1/0 → the noPunct form of
+    # "U.S. Dollar" ("U S  Dollar") wins on max whitespace
+    assert canonical_pick(["US Dollar", "USDollar", "U.S. Dollar"]) == "U S  Dollar"
+    # equal cLen → more whitespace wins ("ab cd" over "abcd")
+    assert canonical_pick(["abcd", "ab cd"]) == "ab cd"
+    # shorter CONCAT wins regardless of raw length; returned value is the
+    # punctuation-stripped form
+    assert canonical_pick(["a-b-c-d-e", "abcdEF"]) == "a b c d e"
