@@ -143,6 +143,121 @@ def score_pairs(
     ).drop("pj_struct")
 
 
+def explode_annotation_pairs(
+    pairs: DataFrame, src_annots: DataFrame, tgt_annots: DataFrame
+) -> DataFrame:
+    """J5 explode: every (src_annotation × tgt_annotation) combination per
+    blocked candidate pair — the reference's ``itertools.product`` over the
+    two annotation sets (``mapping_prediction.py:122,215-226``). Annotation
+    tables are vocabulary-scale (per schema element), so both joins are
+    broadcast: no shuffle of the pair table."""
+    sa = src_annots.select(F.col("element").alias("src"), F.col("annotation").alias("src_annot"))
+    ta = tgt_annots.select(F.col("element").alias("tgt"), F.col("annotation").alias("tgt_annot"))
+    return pairs.join(F.broadcast(sa), "src").join(F.broadcast(ta), "tgt")
+
+
+def edit_similarity_mapping_scores(
+    pairs: DataFrame, src_annots: DataFrame, tgt_annots: DataFrame, k: int | None = None
+) -> DataFrame:
+    """J5 + X6, the BERTMapLt scoring path
+    (``mapping_prediction.py:130-149``): per candidate pair take the MAX
+    over all annotation pairs of normalized edit similarity
+    ``1 − lev/max(len)`` (an exact shared annotation scores 1.0 — the
+    reference's intersection short-circuit is the max's fixed point), then
+    keep the ``k`` best-scored candidates per source element
+    (``num_best_predictions``). Pure JVM expressions — ``F.levenshtein``
+    plus a window — no Python in the plan."""
+    ex = explode_annotation_pairs(pairs, src_annots, tgt_annots)
+    sim = 1.0 - F.levenshtein("src_annot", "tgt_annot") / F.greatest(
+        F.length("src_annot"), F.length("tgt_annot")
+    )
+    sim = F.when(F.col("src_annot") == F.col("tgt_annot"), F.lit(1.0)).otherwise(sim)
+    scored = ex.groupBy("src", "tgt").agg(F.round(F.max(sim), 6).alias("score"))
+    if k is None:
+        return scored
+    w = W.partitionBy("src").orderBy(F.col("score").desc(), F.col("tgt"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "tgt", "score", "rk")
+    )
+
+
+def bert_mapping_scores(
+    pairs: DataFrame,
+    src_annots: DataFrame,
+    tgt_annots: DataFrame,
+    cfg: MatchConfig | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """J5 with the encoder scorer (``mapping_prediction.py:241-257``): all
+    annotation pairs per candidate scored by the (stand-in) synonym
+    classifier, aggregated with MAX per candidate — the reference's
+    ``torch.max(chunk)`` (its own comment records replacing mean with max).
+    A string-matched candidate (any shared annotation) short-circuits to
+    100, mirroring the prelim ``edit_similarity_mapping_score(...,
+    string_match_only=True)`` gate at :180-200.
+
+    Distinct annotations are encoded ONCE (M2 cache) and broadcast back —
+    the annotation vocabulary, not the pair table, pays the Python
+    crossing."""
+    cfg = cfg or MatchConfig()
+    ex = explode_annotation_pairs(pairs, src_annots, tgt_annots)
+    vocab = (
+        src_annots.select(F.col("annotation").alias("mention"))
+        .unionByName(tgt_annots.select(F.col("annotation").alias("mention")))
+        .dropDuplicates()
+    )
+    emb = encode_strings(vocab, "mention", "emb", cfg)
+    e_src = emb.select(F.col("mention").alias("src_annot"), F.col("emb").alias("emb_s"))
+    e_tgt = emb.select(F.col("mention").alias("tgt_annot"), F.col("emb").alias("emb_t"))
+    scored_pairs = (
+        ex.join(F.broadcast(e_src), "src_annot")
+        .join(F.broadcast(e_tgt), "tgt_annot")
+        .withColumn("pair_score", cosine_col(F.col("emb_s"), F.col("emb_t")) * 100.0)
+        .withColumn("exact", (F.col("src_annot") == F.col("tgt_annot")).cast("int"))
+    )
+    agg = scored_pairs.groupBy("src", "tgt").agg(
+        F.max("pair_score").alias("max_score"), F.max("exact").alias("string_matched")
+    )
+    scored = agg.select(
+        "src",
+        "tgt",
+        F.round(
+            F.when(F.col("string_matched") == 1, F.lit(100.0)).otherwise(F.col("max_score")), 6
+        ).alias("bes"),
+    )
+    if k is None:
+        return scored
+    w = W.partitionBy("src").orderBy(F.col("bes").desc(), F.col("tgt"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("src", "tgt", "bes", "rk")
+    )
+
+
+# F8: the PO scaffolding elements the reference skips when reading raw
+# mappings (extractBertMapMappings.py:26,74-75 — the two-name string is a
+# faithful copy of the reference's set literal)
+BASE_ELEMENTS = frozenset(
+    {"TableClass", "PureProperty, AttributeClass", "AttributeClass", "hasValueProperty"}
+)
+
+
+def filter_base_elements(
+    cands: DataFrame,
+    col: str = "src",
+    base_elements: frozenset[str] = BASE_ELEMENTS,
+    ns: str = "",
+) -> DataFrame:
+    """F8: drop candidate rows whose SOURCE element is a PO base/scaffolding
+    element (``extractBertMapMappings.py:26,74-75`` — the reference skips
+    them before building raw maps). The set is 4 literals, so the filter is
+    a codegen'd ``NOT IN``, pushed to the scan."""
+    return cands.filter(~F.col(col).isin(*sorted(ns + b for b in base_elements)))
+
+
 def rank_candidates(scored: DataFrame) -> DataFrame:
     """W1 BESRank (row_number by BES desc), W2 PJRank (dense_rank by
     (PJ desc, cLen desc), zero-PJ → NULL — the reference's ∞ rank)."""
@@ -159,9 +274,10 @@ def rank_candidates(scored: DataFrame) -> DataFrame:
 
 def select_matches(ranked: DataFrame, cfg: MatchConfig | None = None) -> DataFrame:
     """Threshold + argmin-rank selection (reference MappingSelection):
-    F3 reject floors → F4 accept rule → keep rows at min PJRank per src,
-    tie-break max PJPerc then max BES then tgt."""
+    F8 base-element skip → F3 reject floors → F4 accept rule → keep rows at
+    min PJRank per src, tie-break max PJPerc then max BES then tgt."""
     cfg = cfg or MatchConfig()
+    ranked = filter_base_elements(ranked)
     accepted = ranked.filter(
         (F.col("pj") >= cfg.pj_reject)
         & (F.col("bes") >= cfg.bes_reject)

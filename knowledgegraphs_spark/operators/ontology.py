@@ -638,6 +638,67 @@ def select_table_column_optimal(
 
 
 # ---------------------------------------------------------------------------
+# X13: restriction-aware table-class label composition
+# ---------------------------------------------------------------------------
+
+
+def compose_table_class_annotations(
+    annots: DataFrame,
+    subclass: DataFrame,
+    restrictions: DataFrame,
+    labels: DataFrame,
+    table_class: str = "TableClass",
+    attribute_class: str = "AttributeClass",
+) -> DataFrame:
+    """X13 (``extractBertMapMappings.py:119-143``): for every property
+    element, prepend the label of each OWNING table class to each of the
+    element's annotations (``f"{tableClassLabel} {resourceLabel}"``),
+    union'd with the originals.
+
+    Ownership is the reference SPARQL union — the table class must be a
+    subclass of ``TableClass`` with a label, and
+    (a) has a restriction ``onProperty`` the element, or
+    (b) has a restriction ``someValuesFrom`` the element, or
+    (c) an attribute class (subclass of ``AttributeClass``) has a
+        restriction ``onProperty`` the element AND the table class has a
+        restriction ``someValuesFrom`` that attribute class.
+
+    Inputs: ``annots(element, annotation)`` (already lowercased, as the
+    reference lowercases at :118), ``subclass(child, parent)``,
+    ``restrictions(cls, kind, target)`` with kind ∈ {onProperty,
+    someValuesFrom}, ``labels(cls, label)``. All four are TBox-scale, so
+    every join is broadcast — the row-scale side never shuffles."""
+    tcs = subclass.filter(F.col("parent") == table_class).select(
+        F.col("child").alias("cls")
+    )
+    acs = subclass.filter(F.col("parent") == attribute_class).select(
+        F.col("child").alias("acls")
+    )
+    r_on = restrictions.filter(F.col("kind") == "onProperty").select("cls", "target")
+    r_some = restrictions.filter(F.col("kind") == "someValuesFrom").select("cls", "target")
+
+    own_a = tcs.join(r_on, "cls").select("cls", F.col("target").alias("element"))
+    own_b = tcs.join(r_some, "cls").select("cls", F.col("target").alias("element"))
+    ac_props = acs.join(
+        r_on.select(F.col("cls").alias("acls"), "target"), "acls"
+    ).select("acls", F.col("target").alias("element"))
+    own_c = (
+        tcs.join(r_some.select("cls", F.col("target").alias("acls")), "cls")
+        .join(ac_props, "acls")
+        .select("cls", "element")
+    )
+    owners = own_a.unionByName(own_b).unionByName(own_c).dropDuplicates()
+    owner_labels = owners.join(F.broadcast(labels), "cls").select(
+        "element", F.lower(F.col("label")).alias("tc_label")
+    )
+    composed = annots.join(F.broadcast(owner_labels), "element").select(
+        "element",
+        F.concat(F.col("tc_label"), F.lit(" "), F.col("annotation")).alias("annotation"),
+    )
+    return annots.unionByName(composed)
+
+
+# ---------------------------------------------------------------------------
 # J9/A7: PII flagging
 # ---------------------------------------------------------------------------
 

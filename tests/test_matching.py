@@ -90,3 +90,58 @@ def test_score_select_picks_best_target(spark):
     assert len(picked) == 1
     assert picked[0].src == "interest rate swap"
     assert picked[0].tgt == "interest rate"
+
+
+# --- J5 annotation cross-product scoring + F8 base-element filter -----------
+
+
+def test_j5_edit_similarity_scores_max_over_pairs(spark):
+    from knowledgegraphs_spark.operators.matching import edit_similarity_mapping_scores
+
+    pairs = spark.createDataFrame([("e1", "c1")], "src string, tgt string")
+    src_annots = spark.createDataFrame(
+        [("e1", "abc"), ("e1", "wxyz")], "element string, annotation string"
+    )
+    tgt_annots = spark.createDataFrame([("c1", "abcd")], "element string, annotation string")
+    [row] = edit_similarity_mapping_scores(pairs, src_annots, tgt_annots).collect()
+    # max(1 - 1/4, 1 - 4/4) over the two annotation pairs
+    assert row.score == 0.75
+
+
+def test_j5_bert_mapping_scores_shortcircuit_and_monotone(spark):
+    from knowledgegraphs_spark.operators.matching import bert_mapping_scores
+
+    pairs = spark.createDataFrame(
+        [("e1", "c1"), ("e1", "c2"), ("e2", "c1")], "src string, tgt string"
+    )
+    src_annots = spark.createDataFrame(
+        [("e1", "account key"), ("e1", "acct key"), ("e2", "client name")],
+        "element string, annotation string",
+    )
+    tgt_annots = spark.createDataFrame(
+        [("c1", "account identifier"), ("c1", "account key"), ("c2", "zzz qqq")],
+        "element string, annotation string",
+    )
+    got = {(r.src, r.tgt): r.bes for r in bert_mapping_scores(pairs, src_annots, tgt_annots).collect()}
+    assert got[("e1", "c1")] == 100.0          # shared annotation short-circuits
+    assert -100 <= got[("e1", "c2")] < 100     # cosine×100 of unrelated strings
+    # MAX aggregation: adding an extra (worse) annotation can never lower a score
+    extra = spark.createDataFrame([("e2", "xq zv")], "element string, annotation string")
+    got2 = {
+        (r.src, r.tgt): r.bes
+        for r in bert_mapping_scores(pairs, src_annots.union(extra), tgt_annots).collect()
+    }
+    assert got2[("e2", "c1")] >= got[("e2", "c1")]
+
+
+def test_f8_base_element_filter(spark):
+    from knowledgegraphs_spark.operators.matching import filter_base_elements
+
+    df = spark.createDataFrame(
+        [("TableClass", 1), ("AttributeClass", 2), ("customer", 3),
+         ("hasValueProperty", 4), ("PureProperty, AttributeClass", 5)],
+        "src string, v int",
+    )
+    assert {r.src for r in filter_base_elements(df).collect()} == {"customer"}
+    df2 = spark.createDataFrame([("PO:TableClass", 1), ("PO:customer", 2)], "src string, v int")
+    assert {r.src for r in filter_base_elements(df2, ns="PO:").collect()} == {"PO:customer"}

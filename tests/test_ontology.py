@@ -158,3 +158,40 @@ def test_flag_pii(spark, closure_df):
     assert out["col_acct"] == ["dpv:DDA", "dpv:FinancialAccount"]
     assert out["col_note"] == ["dpv:Date"]
     assert "col_x" not in out  # no DPV hit → not flagged
+
+
+def test_x13_compose_table_class_annotations(spark):
+    """Reference prepended-label output (extractBertMapMappings.py:119-143)
+    for each ownership branch: direct onProperty, someValuesFrom, and the
+    attribute-class path."""
+    from knowledgegraphs_spark.operators.ontology import compose_table_class_annotations
+
+    annots = spark.createDataFrame(
+        [("p_amount", "amount"), ("p_amount", "value"), ("p_other", "other")],
+        "element string, annotation string",
+    )
+    subclass = spark.createDataFrame(
+        [("LoanTable", "TableClass"), ("OtherTable", "TableClass"),
+         ("AmountAttr", "AttributeClass")],
+        "child string, parent string",
+    )
+    restrictions = spark.createDataFrame(
+        [
+            ("LoanTable", "onProperty", "p_amount"),        # branch (a)
+            ("OtherTable", "someValuesFrom", "p_other"),    # branch (b)
+            ("AmountAttr", "onProperty", "p_amount"),       # branch (c).1
+            ("LoanTable", "someValuesFrom", "AmountAttr"),  # branch (c).2 → same owner, dedup'd
+        ],
+        "cls string, kind string, target string",
+    )
+    labels = spark.createDataFrame(
+        [("LoanTable", "Loan"), ("OtherTable", "Other")], "cls string, label string"
+    )
+    rows = compose_table_class_annotations(annots, subclass, restrictions, labels).collect()
+    got = {(r.element, r.annotation) for r in rows}
+    assert ("p_amount", "loan amount") in got
+    assert ("p_amount", "loan value") in got
+    assert ("p_other", "other other") in got
+    assert ("p_amount", "amount") in got and ("p_other", "other") in got
+    # duplicate ownership via branches (a)+(c) must not duplicate rows
+    assert len(rows) == len(got)
