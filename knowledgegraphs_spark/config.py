@@ -46,6 +46,11 @@ class MatchConfig:
     embedding_dim: int = 256       # hashing-trick encoder width
     ngram_range: tuple[int, int] = (2, 3)  # char n-grams fed to the encoder
     salt_buckets: int = 8          # salting factor for head-entity skew
+    # M1 weight-loading seam: path to an .npz projection loaded ONCE per
+    # worker inside mapInPandas (ship via --py-files / SparkFiles); None =
+    # the plain hashing encoder. Identity weights reproduce it exactly.
+    weights_path: str | None = None
+    predict_batch_size: int = 32   # reference bertmap_main.py:136-137
 
 
 @dataclass(frozen=True)

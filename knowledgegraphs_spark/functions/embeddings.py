@@ -53,18 +53,80 @@ def encode_batch(
     return vecs / norms
 
 
+# --- M1 weight-loading seam --------------------------------------------------
+# The reference loads its fine-tuned checkpoint once per process and serves
+# batch-32 predictions (``bert_classifier.py:153-192``, batch contract
+# ``bertmap_main.py:136-137``). The Spark equivalent: ship the weights file
+# via ``--py-files``/``SparkFiles``, resolve + load it ONCE per Python
+# worker (module-level cache keyed by path), and run the forward pass inside
+# the same mapInPandas that the hashing encoder uses.
+
+_WORKER_WEIGHTS_CACHE: dict[str, np.ndarray] = {}
+
+
+def _resolve_weights_path(path: str) -> str:
+    import os
+
+    if os.path.exists(path):
+        return path
+    from pyspark import SparkFiles  # shipped name under --files/--py-files
+
+    return SparkFiles.get(path)
+
+
+def load_worker_weights(path: str) -> np.ndarray:
+    """Load a (dim_in, dim_out) float32 projection, once per worker
+    process — repeat calls in the same interpreter are dictionary hits."""
+    w = _WORKER_WEIGHTS_CACHE.get(path)
+    if w is None:
+        with np.load(_resolve_weights_path(path)) as z:
+            w = z["weights"].astype(np.float32)
+        _WORKER_WEIGHTS_CACHE[path] = w
+    return w
+
+
+def save_identity_weights(path: str, dim: int = 256) -> str:
+    """The fixture weights on which the loaded-weights encoder and the
+    plain hashing encoder agree exactly (identity projection of unit-norm
+    vectors re-normalizes to itself)."""
+    np.savez(path, weights=np.eye(dim, dtype=np.float32))
+    return path
+
+
+def encode_batch_with_weights(
+    texts: list[str],
+    weights: np.ndarray,
+    dim: int = 256,
+    ngram_range: tuple[int, int] = (2, 3),
+    batch_size: int = 32,
+) -> np.ndarray:
+    """Forward pass: hashing features → linear projection → L2 norm, in
+    slices of ``batch_size`` (the reference's prediction batch contract)."""
+    feats = encode_batch(texts, dim, ngram_range)
+    out = np.empty((len(texts), weights.shape[1]), dtype=np.float32)
+    for lo in range(0, len(texts), batch_size):
+        out[lo : lo + batch_size] = feats[lo : lo + batch_size] @ weights
+    norms = np.linalg.norm(out, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return out / norms
+
+
 def encode_strings(
     df: DataFrame, text_col: str, out_col: str = "embedding", cfg: MatchConfig | None = None
 ) -> DataFrame:
     """Append an embedding column; one Arrow batch per ~10k rows.
 
     Callers should pass DISTINCT strings (dedup-then-enrich) — embedding the
-    same surface twice is wasted compute at any scale.
+    same surface twice is wasted compute at any scale. When
+    ``cfg.weights_path`` is set, each worker loads the projection once and
+    runs the batched forward pass (the M1 swap-in seam); otherwise the
+    plain hashing encoder runs.
     """
     from pyspark.sql import types as T
 
     cfg = cfg or MatchConfig()
     dim, ngr = cfg.embedding_dim, cfg.ngram_range
+    weights_path, bsz = cfg.weights_path, cfg.predict_batch_size
     # fresh StructType: .add() would mutate df's cached schema in place
     schema = T.StructType(
         list(df.schema.fields) + [T.StructField(out_col, T.ArrayType(T.FloatType()))]
@@ -72,8 +134,13 @@ def encode_strings(
     cols = df.columns
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = load_worker_weights(weights_path) if weights_path else None
         for pdf in batches:
-            vecs = encode_batch(pdf[text_col].fillna("").tolist(), dim, ngr)
+            texts = pdf[text_col].fillna("").tolist()
+            if weights is None:
+                vecs = encode_batch(texts, dim, ngr)
+            else:
+                vecs = encode_batch_with_weights(texts, weights, dim, ngr, bsz)
             pdf = pdf[cols].copy()
             pdf[out_col] = list(vecs)
             yield pdf

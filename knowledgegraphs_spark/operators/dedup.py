@@ -232,15 +232,40 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash_candidates(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", prefix_bits: int = 16
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_bits: int = 16,
+    rotations: int = 1,
 ) -> DataFrame:
-    """Candidate near-dup pairs whose SimHashes share the top ``prefix_bits``
-    (one rotation — production would union several rotations)."""
+    """Candidate near-dup pairs sharing a ``prefix_bits`` window of their
+    SimHash in at least one of ``rotations`` bit-rotations, deduped across
+    rotations.
+
+    ``rotations=1`` keeps the single top-prefix bucket (the
+    DuckDB-oracle-matched contract shape). The production setting is
+    ``rotations = 64 // prefix_bits`` (e.g. 4×16): the windows are then
+    DISJOINT and cover all 64 bits, so a pair within Hamming distance
+    ``rotations − 1`` differs in fewer windows than exist and MUST share a
+    clean one — guaranteed recall for d ≤ rotations−1, not probabilistic
+    (pytest proves it against brute-force Hamming pairs). Each rotation is
+    one bucket join; candidates stay linear in collisions, never all-pairs."""
     hashed = docs.select(
         F.col(id_col).alias("doc_id"), simhash64_udf(F.col(text_col)).alias("simhash")
-    ).withColumn("bucket", F.shiftright("simhash", 64 - prefix_bits))
-    a = hashed.select(F.col("doc_id").alias("id_a"), "bucket", F.col("simhash").alias("sh_a"))
-    b = hashed.select(F.col("doc_id").alias("id_b"), "bucket", F.col("simhash").alias("sh_b"))
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    )
+    step = 64 // max(rotations, 1)
+
+    def bucket(r: int):
+        h = F.col("simhash")
+        k = (r * step) % 64
+        rot = h if k == 0 else F.shiftleft(h, k).bitwiseOR(F.shiftrightunsigned(h, 64 - k))
+        return F.struct(F.lit(r).alias("rot"), F.shiftrightunsigned(rot, 64 - prefix_bits).alias("bucket"))
+
+    banded = hashed.select(
+        "doc_id", "simhash", F.explode(F.array(*[bucket(r) for r in range(rotations)])).alias("bk")
+    ).select("doc_id", "simhash", "bk.rot", "bk.bucket")
+    a = banded.select(F.col("doc_id").alias("id_a"), "rot", "bucket", F.col("simhash").alias("sh_a"))
+    b = banded.select(F.col("doc_id").alias("id_b"), "rot", "bucket", F.col("simhash").alias("sh_b"))
+    pairs = a.join(b, ["rot", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming_distance"))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming_distance")).dropDuplicates()

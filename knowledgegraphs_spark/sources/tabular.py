@@ -314,3 +314,86 @@ def add_synthetic_pk(df: DataFrame, order_cols: list[str]) -> DataFrame:
     does not guarantee — callers must name the ordering)."""
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn(PK_COL, F.row_number().over(w).cast("string"))
+
+
+# ---------------------------------------------------------------------------
+# S2: Excel scan — stdlib OOXML reader, no optional dependency
+# ---------------------------------------------------------------------------
+
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+
+
+def _parse_xlsx_rows(path: str) -> tuple[list[list[str]], int]:
+    """Minimal .xlsx reader (zipfile + ElementTree — the format is a public
+    OOXML zip of XML parts), mirroring the reference's POI loop
+    (``TabularFilesReader.java:115-154``): first worksheet only, every cell
+    surfaced as a string, ``(rows, maxCells)`` returned so ragged rows can
+    be header-repaired. Shared strings, inline strings, booleans and
+    numerics are handled; anything else stringifies to ''. Driver-side by
+    design — spreadsheet files are small; the distributed path is CSV or
+    parquet."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = [
+                "".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t"))
+                for si in root.findall(f"{_XLSX_NS}si")
+            ]
+        sheets = sorted(
+            n for n in z.namelist() if re.fullmatch(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        if not sheets:
+            return [], 0
+        root = ET.fromstring(z.read(sheets[0]))
+        rows: list[list[str]] = []
+        max_cells = 0
+        for row_el in root.iter(f"{_XLSX_NS}row"):
+            cells: dict[int, str] = {}
+            for c in row_el.findall(f"{_XLSX_NS}c"):
+                letters = "".join(ch for ch in (c.get("r") or "") if ch.isalpha())
+                if letters:
+                    idx = 0
+                    for ch in letters:
+                        idx = idx * 26 + (ord(ch.upper()) - 64)
+                    idx -= 1
+                else:  # no cell reference: append after the last seen cell
+                    idx = max(cells) + 1 if cells else 0
+                t = c.get("t")
+                if t == "inlineStr":
+                    v = "".join(tt.text or "" for tt in c.iter(f"{_XLSX_NS}t"))
+                else:
+                    ve = c.find(f"{_XLSX_NS}v")
+                    v = ve.text if ve is not None and ve.text is not None else ""
+                    if t == "s" and v != "":
+                        v = shared[int(v)]
+                    elif t == "b":
+                        v = "true" if v == "1" else "false"
+                cells[idx] = v
+            width = max(cells) + 1 if cells else 0
+            max_cells = max(max_cells, width)
+            rows.append([cells.get(i, "") for i in range(width)])
+        return rows, max_cells
+
+
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """S2: Excel scan feeding the exact same pipeline as CSV — header
+    repair (S3, padded to ``maxCells`` like the reference's ragged-row
+    handling), all-string schema, empty-Unknown-column drop (S4); type
+    inference (S5) is the caller's explicit next pass, as with
+    :func:`read_csv`."""
+    from pyspark.sql import types as T
+
+    rows, max_cells = _parse_xlsx_rows(path)
+    if not rows or max_cells == 0:
+        return spark.createDataFrame([], "value string").limit(0)
+    headers = repair_headers([str(h) for h in rows[0]], max_cells=max_cells)
+    data = [
+        tuple((r + [""] * max_cells)[:max_cells]) for r in rows[1:]
+    ]
+    schema = T.StructType([T.StructField(h, T.StringType()) for h in headers])
+    df = spark.createDataFrame(data, schema)
+    return drop_empty_unknown_columns(df)

@@ -145,3 +145,49 @@ def test_f8_base_element_filter(spark):
     assert {r.src for r in filter_base_elements(df).collect()} == {"customer"}
     df2 = spark.createDataFrame([("PO:TableClass", 1), ("PO:customer", 2)], "src string, v int")
     assert {r.src for r in filter_base_elements(df2, ns="PO:").collect()} == {"PO:customer"}
+
+
+# --- M1 weight-loading seam -------------------------------------------------
+
+
+def test_m1_weights_seam_identity_matches_hashing(spark, tmp_path):
+    """The matcher run with a per-worker-loaded identity projection emits
+    exactly the matches of the plain hashing encoder (the fixture on which
+    both encoders agree) — proving the load-once-per-worker seam end-to-end
+    (reference checkpoint+batch contract bert_classifier.py:153-192,
+    bertmap_main.py:136-137)."""
+    from knowledgegraphs_spark.config import MatchConfig
+    from knowledgegraphs_spark.functions.embeddings import save_identity_weights
+
+    wpath = save_identity_weights(str(tmp_path / "weights.npz"), dim=256)
+    sdf = _sdf(spark)
+    pairs = blocking_pairs(sdf)
+
+    def run(cfg):
+        sel = select_matches(rank_candidates(score_pairs(pairs, sdf, cfg)), cfg)
+        return {(r.src, r.tgt, r.bes) for r in sel.collect()}
+
+    base = run(MatchConfig())
+    loaded = run(MatchConfig(weights_path=wpath))
+    assert base and base == loaded
+
+
+def test_m1_weights_seam_projection_deterministic(spark, tmp_path):
+    import numpy as np
+
+    from knowledgegraphs_spark.config import MatchConfig
+    from knowledgegraphs_spark.functions.embeddings import encode_strings
+
+    # deterministic non-identity projection: a cyclic permutation
+    w = np.roll(np.eye(256, dtype=np.float32), 1, axis=1)
+    wpath = str(tmp_path / "proj.npz")
+    np.savez(wpath, weights=w)
+    df = spark.createDataFrame([("alpha beta",), ("gamma",)], "mention string")
+    cfg = MatchConfig(weights_path=wpath)
+
+    def embs(c):
+        return {r.mention: tuple(r.emb) for r in encode_strings(df, "mention", "emb", c).collect()}
+
+    once, twice = embs(cfg), embs(cfg)
+    assert once == twice                      # deterministic across runs
+    assert once != embs(MatchConfig())        # and actually a different model

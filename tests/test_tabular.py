@@ -128,3 +128,74 @@ def test_add_synthetic_pk(spark):
     out = add_synthetic_pk(df, ["k"]).orderBy("k").collect()
     assert [r[PK_COL] for r in out] == ["1", "2", "3"]
     assert out[0].k == "a"
+
+
+# --- S2: Excel scan ----------------------------------------------------------
+
+
+def _write_min_xlsx(path: str) -> None:
+    """Emit a minimal valid OOXML workbook with stdlib zipfile: shared
+    strings, numerics, booleans, a duplicate header, a ragged row and an
+    empty Unknown column."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    shared = ["name", "amount", "flag", "alice", "bob"]
+    sst = (
+        f'<?xml version="1.0"?><sst {ns} count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    # headers: name, amount, flag, name (dup), <empty>  → repair kicks in
+    sheet = f'''<?xml version="1.0"?><worksheet {ns}><sheetData>
+<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c><c r="D1" t="s"><v>0</v></c></row>
+<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>12.5</v></c><c r="C2" t="b"><v>1</v></c><c r="D2" t="s"><v>3</v></c><c r="E2"><v>7</v></c></row>
+<row r="3"><c r="A3" t="inlineStr"><is><t>bob</t></is></c><c r="B3"><v>3</v></c><c r="C3" t="b"><v>0</v></c></row>
+</sheetData></worksheet>'''
+    workbook = (
+        f'<?xml version="1.0"?><workbook {ns}><sheets>'
+        '<sheet name="Sheet1" sheetId="1"/></sheets></workbook>'
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", workbook)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+def test_s2_excel_scan_through_inference(spark, tmp_path):
+    from knowledgegraphs_spark.sources.tabular import infer_column_types, read_excel
+
+    p = str(tmp_path / "mini.xlsx")
+    _write_min_xlsx(p)
+    df = read_excel(spark, p)
+    # duplicate header deduped, ragged 5th column became Unknown_Header_1
+    # and survived (it has a value in row 2)
+    assert df.columns == ["name", "amount", "flag", "name_4", "Unknown_Header_1"]
+    rows = {r["name"]: r for r in df.collect()}
+    assert rows["alice"]["amount"] == "12.5"
+    assert rows["alice"]["flag"] == "true"
+    assert rows["bob"]["flag"] == "false"
+    assert rows["bob"]["Unknown_Header_1"] == ""
+    types = infer_column_types(df)
+    assert types["amount"] == "double"
+    assert types["flag"] == "boolean"
+    assert types["name"] == "varchar"
+
+
+def test_s2_excel_empty_unknown_column_dropped(spark, tmp_path):
+    import zipfile
+
+    from knowledgegraphs_spark.sources.tabular import read_excel
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = f'''<?xml version="1.0"?><worksheet {ns}><sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v></v></c></row>
+</sheetData></worksheet>'''
+    p = str(tmp_path / "rag.xlsx")
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    df = read_excel(spark, p)
+    # the ragged all-empty tail column is repaired then dropped (S4)
+    assert df.columns == ["h"]

@@ -249,3 +249,39 @@ def test_minhash_md5_and_xxhash_families_agree_on_planted_dups(spark):
                  for r in minhash_lsh_candidates(df, k=16, bands=4, family=family).collect()}
         assert (1, 2) in pairs, family          # exact dups always collide
         assert not any(4 in p or 5 in p for p in pairs), family
+
+
+def test_simhash_multirotation_guaranteed_recall(spark):
+    """With 4 disjoint 16-bit windows covering all 64 bits, a pair within
+    Hamming distance 3 differs in at most 3 windows → at least one window
+    is clean → the pair MUST collide (pigeonhole, not probability)."""
+    from knowledgegraphs_spark.operators.dedup import simhash64_python, simhash_candidates
+
+    base = [f"tok{i}" for i in range(40)]
+    texts = [" ".join(base)]
+    for i in range(12):
+        variant = list(base)
+        variant[i] = f"alt{i}"
+        if i % 3 == 0:
+            variant[(i + 7) % 40] = f"alt{i}b"
+        texts.append(" ".join(variant))
+    texts.append(" ".join(f"zzz{i}" for i in range(40)))
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+
+    sh = {i: simhash64_python(t) for i, t in enumerate(texts)}
+    close = {
+        (i, j)
+        for i in sh
+        for j in sh
+        if i < j and bin((sh[i] ^ sh[j]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in simhash_candidates(df, prefix_bits=16, rotations=4).collect()
+    }
+    assert close, "fixture produced no close pairs — broken fixture"
+    assert close <= got, f"missed guaranteed pairs: {close - got}"
+    # and hamming distances reported by the plan match the python twin
+    for r in simhash_candidates(df, prefix_bits=16, rotations=4).collect():
+        expect = bin((sh[r.id_a] ^ sh[r.id_b]) & ((1 << 64) - 1)).count("1")
+        assert r.hamming_distance == expect
