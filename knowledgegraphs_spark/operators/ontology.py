@@ -45,10 +45,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-# XSD datatype families (XSDmappers.java:16-18)
-INT_DATATYPES = {"xsd:int", "xsd:integer", "xsd:nonNegativeInteger", "xsd:positiveInteger", "xsd:long", "xsd:short"}
-DECIMAL_DATATYPES = {"xsd:decimal", "xsd:float", "xsd:double"}
-DATE_DATATYPES = {"xsd:date", "xsd:dateTime", "xsd:gYear", "xsd:time"}
+# XSD datatype families — the exact reference sets (XSDmappers.java:16-18):
+# int = {integer, unsignedInt, unsignedShort, short, positiveInteger,
+# nonPositiveInteger, nonNegativeInteger}; decimal = {double, float,
+# decimal}; date = {date, dateTime, dateTimeStamp, time}. Notably NOT
+# members: xsd:int, xsd:long, xsd:gYear.
+INT_DATATYPES = {
+    "xsd:integer", "xsd:unsignedInt", "xsd:unsignedShort", "xsd:short",
+    "xsd:positiveInteger", "xsd:nonPositiveInteger", "xsd:nonNegativeInteger",
+}
+DECIMAL_DATATYPES = {"xsd:double", "xsd:float", "xsd:decimal"}
+DATE_DATATYPES = {"xsd:date", "xsd:dateTime", "xsd:dateTimeStamp", "xsd:time"}
 
 
 @dataclass
@@ -139,8 +146,20 @@ def are_compatible(tbox: TBox, a: str | None, b: str | None, missing_ok: bool) -
     return False
 
 
-def data_range_compatible(do_range: str | None, po_range: str | None) -> bool:
-    """F7 (MappingSelection.java:315-340)."""
+def data_range_compatible(
+    do_range: str | None,
+    po_range: str | None,
+    equivalent_unions: dict[str, set[str]] | None = None,
+) -> bool:
+    """F7 (MappingSelection.java:315-340), including the non-XSD branch
+    (:326-329): a DO range that is a CLASS (not in the xsd namespace) is
+    compatible iff the PO range is an operand of the class's equivalent
+    union — pass that union membership via ``equivalent_unions``
+    (class → operand set); without it such ranges are incompatible, and
+    notably NOT auto-accepted on string equality (the reference never
+    reaches the equality check for non-XSD ranges)."""
+    if do_range is not None and not do_range.startswith("xsd:"):
+        return po_range in (equivalent_unions or {}).get(do_range, ())
     if do_range is None or do_range == "xsd:string":
         return True
     if do_range == po_range:
@@ -173,13 +192,25 @@ def table_threshold_filter(
     )
 
 
-def filter_by_family(cands: DataFrame, po_range_col: str = "po_range", do_range_col: str = "do_range") -> DataFrame:
-    """F7 as a pure column expression (whole-stage codegen, no UDF)."""
+def filter_by_family(
+    cands: DataFrame,
+    po_range_col: str = "po_range",
+    do_range_col: str = "do_range",
+    equivalent_unions: dict[str, set[str]] | None = None,
+) -> DataFrame:
+    """F7 as a pure column expression (whole-stage codegen, no UDF). A
+    non-XSD (class-valued) DO range takes the equivalent-union branch
+    (MappingSelection.java:326-329): compatible iff (do_range, po_range)
+    is in ``equivalent_unions`` — inlined as literal terms, TBox-scale."""
     dor, por = F.col(do_range_col), F.col(po_range_col)
     int_d = F.array(*[F.lit(x) for x in sorted(INT_DATATYPES)])
     dec_d = F.array(*[F.lit(x) for x in sorted(DECIMAL_DATATYPES)])
     date_d = F.array(*[F.lit(x) for x in sorted(DATE_DATATYPES)])
-    compatible = (
+    union_ok = F.lit(False)
+    for d, ps in sorted((equivalent_unions or {}).items()):
+        for p in sorted(ps):
+            union_ok = union_ok | ((dor == d) & (por == p))
+    xsd_compatible = (
         dor.isNull()
         | (dor == "xsd:string")
         | (dor == por)
@@ -187,6 +218,9 @@ def filter_by_family(cands: DataFrame, po_range_col: str = "po_range", do_range_
         | (F.array_contains(dec_d, dor) & F.array_contains(dec_d, por))
         | (F.array_contains(date_d, dor) & F.array_contains(date_d, por))
     )
+    compatible = F.when(
+        dor.isNotNull() & ~dor.startswith("xsd:"), union_ok
+    ).otherwise(xsd_compatible)
     return cands.filter(compatible)
 
 
@@ -252,10 +286,19 @@ def find_nary_paths(
         return compat.withColumn("data_cand", F.lit(None).cast("string"))
     d = data_cands.select(*key_cols, F.col("tgt").alias("data_cand"), F.col("domain").alias("dp_domain"))
     joined = compat.join(d, key_cols, "left")
-    keep = joined.filter(
-        F.col("data_cand").isNull() | (F.col("dp_domain") == F.col("cls_cand")) | F.col("dp_domain").isNull()
+    # dp_domain ~ cls_cand through the closure (ancestor OR descendant),
+    # matching classUsesDataProps / the find_nary_paths_py twin — not bare
+    # equality (the round-1 divergence flagged in ADVICE.md)
+    eq_or_null = joined.filter(
+        F.col("data_cand").isNull() | F.col("dp_domain").isNull() | (F.col("dp_domain") == F.col("cls_cand"))
     )
-    return keep
+    dom_up = joined.join(
+        c, (joined["dp_domain"] == c["node"]) & (joined["cls_cand"] == c["anc"]), "left_semi"
+    )
+    dom_dn = joined.join(
+        c, (joined["cls_cand"] == c["node"]) & (joined["dp_domain"] == c["anc"]), "left_semi"
+    )
+    return eq_or_null.unionByName(dom_up).unionByName(dom_dn).dropDuplicates()
 
 
 # ---------------------------------------------------------------------------
@@ -477,7 +520,15 @@ def select_from_nary_paths(
     data_cands: list[dict] | None,
 ):
     """selectFromNaryPaths (:389-470): sum-of-PJRank argmin over paths,
-    merged with per-element tops; ambiguity on both sides rejects."""
+    merged with per-element tops; ambiguity on both sides rejects.
+
+    DELIBERATE deviation from the reference binary: class-only ('') paths
+    score ``2³¹−1 + clsRank`` here in unbounded Python ints, so they always
+    LOSE the argmin to any obj path. The reference's ``Integer.MAX_VALUE +
+    PJRank`` overflows negative in Java, making class-only paths WIN
+    whenever both kinds coexist — an int-overflow artifact contradicting
+    the sentinel's intent ("effectively infinite cost"), not a designed
+    preference. We keep the non-overflow semantics and document it."""
     obj_by = {c["tgt"]: c for c in (obj_cands or [])}
     obj_top = _find_tops({o for o, _, _ in paths}, obj_cands)
     cls_top = _find_tops({c for _, c, _ in paths}, cls_cands)

@@ -257,16 +257,18 @@ def rdb2owl_object_properties(
                         if o2 and this != o2:
                             add("r4", o2, this)
 
-        # r6: even composite key entirely referencing ONE table → symmetric
+        # r6: even composite key entirely referencing ONE table → symmetric.
+        # The unclassed results (None) stay IN the set before the size test,
+        # exactly like the reference's HashSet of tClass() results
+        # (ObjectPropExtractor.objPropRule6): a junction referencing one
+        # classed and one unclassed table has refs = {C, None} → size 2 →
+        # no property.
         if len(spec.pks) % 2 == 0 and len(spec.pks) > 0 and _pks_subset_fks(spec):
-            refs = {
-                cls(fk.ref_table)
-                for fk in spec.fks
-                if fk.column in inter and cls(fk.ref_table)
-            }
+            refs = {cls(fk.ref_table) for fk in spec.fks if fk.column in inter}
             if len(refs) == 1:
                 c = refs.pop()
-                add("r6", c, c, name=f"has_{c}")
+                if c:
+                    add("r6", c, c, name=f"has_{c}")
 
         # r7: FK to own PK → symmetric self-reference
         if this:

@@ -55,12 +55,23 @@ def test_are_compatible():
 
 
 def test_data_range_compatible():
-    assert data_range_compatible(None, "xsd:int")
+    assert data_range_compatible(None, "xsd:integer")
     assert data_range_compatible("xsd:string", "xsd:date")
-    assert data_range_compatible("xsd:decimal", "xsd:int")  # decimal ⊇ int
-    assert not data_range_compatible("xsd:int", "xsd:decimal")  # not the reverse
-    assert data_range_compatible("xsd:gYear", "xsd:date")
-    assert not data_range_compatible("xsd:date", "xsd:int")
+    assert data_range_compatible("xsd:decimal", "xsd:integer")      # decimal DO accepts int PO
+    assert not data_range_compatible("xsd:integer", "xsd:decimal")  # not the reverse
+    assert data_range_compatible("xsd:dateTimeStamp", "xsd:date")
+    assert not data_range_compatible("xsd:date", "xsd:integer")
+    # exact reference families (XSDmappers.java:16-18): xsd:int and
+    # xsd:gYear are NOT family members
+    assert not data_range_compatible("xsd:decimal", "xsd:int")
+    assert not data_range_compatible("xsd:gYear", "xsd:date")
+    # non-XSD (class-valued) DO range: equivalent-union membership only
+    # (MappingSelection.java:326-329) — equality alone does not qualify
+    assert data_range_compatible(
+        "MonetaryAmount", "xsd:decimal", {"MonetaryAmount": {"xsd:decimal"}}
+    )
+    assert not data_range_compatible("MonetaryAmount", "xsd:decimal")
+    assert not data_range_compatible("MonetaryAmount", "MonetaryAmount")
 
 
 def test_find_hierarchical_relations_reference_example():
@@ -105,14 +116,21 @@ def test_consider_hierarchies_generalize_to_ancestor():
 def test_reject_and_family_filters(spark):
     df = spark.createDataFrame(
         [
-            ("a", "t1", 0.9, 0.9, "xsd:int", "xsd:integer"),
-            ("a", "t2", 0.9, 0.1, "xsd:int", "xsd:integer"),  # F3: pj too low
-            ("a", "t3", 0.9, 0.9, "xsd:decimal", "xsd:gYear"),  # F7: family clash
+            ("a", "t1", 0.9, 0.9, "xsd:integer", "xsd:unsignedInt"),
+            ("a", "t2", 0.9, 0.1, "xsd:integer", "xsd:unsignedInt"),  # F3: pj too low
+            ("a", "t3", 0.9, 0.9, "xsd:decimal", "xsd:dateTimeStamp"),  # F7: family clash
+            ("a", "t4", 0.9, 0.9, "xsd:decimal", "Money"),  # non-XSD DO range
         ],
         "src: string, tgt: string, bes: double, pj: double, po_range: string, do_range: string",
     )
     out = filter_by_family(reject_low_scores(df))
-    assert [r.tgt for r in out.collect()] == ["t1"]
+    assert sorted(r.tgt for r in out.collect()) == ["t1"]
+    # the union branch admits the class-valued range when its equivalent
+    # union contains the PO range
+    out2 = filter_by_family(
+        reject_low_scores(df), equivalent_unions={"Money": {"xsd:decimal"}}
+    )
+    assert sorted(r.tgt for r in out2.collect()) == ["t1", "t4"]
 
 
 def test_select_optimal_df(spark):
@@ -195,3 +213,40 @@ def test_x13_compose_table_class_annotations(spark):
     assert ("p_amount", "amount") in got and ("p_other", "other") in got
     # duplicate ownership via branches (a)+(c) must not duplicate rows
     assert len(rows) == len(got)
+
+
+def test_j6_df_twin_accepts_hierarchical_domains(spark):
+    """The DataFrame find_nary_paths must agree with find_nary_paths_py when
+    the data property's domain is hierarchically related (not equal) to the
+    class candidate — the round-1 DF/driver divergence from ADVICE.md."""
+    from knowledgegraphs_spark.operators.ontology import (
+        TBox,
+        find_nary_paths,
+        find_nary_paths_py,
+    )
+
+    edges = {"DemandDepositAccount": {"Account"}}
+    tb = TBox(
+        subclass_of=edges,
+        prop_range={"holdsAccount": "Account"},
+        prop_domain={"dpBalance": "Account"},
+    )
+    obj = [{"tgt": "holdsAccount", "pj_rank": 1, "pj": 0.9, "bes": 0.9}]
+    cls = [{"tgt": "DemandDepositAccount", "pj_rank": 1, "pj": 0.9, "bes": 0.9}]
+    data = [{"tgt": "dpBalance", "pj_rank": 1, "pj": 0.9, "bes": 0.9}]
+    py_paths = set(find_nary_paths_py(tb, obj, cls, data))
+    assert py_paths == {("holdsAccount", "DemandDepositAccount", "dpBalance")}
+
+    closure_df = spark.createDataFrame(
+        [("DemandDepositAccount", "Account", 1)], "node string, anc string, depth int"
+    )
+    obj_df = spark.createDataFrame(
+        [("e", "holdsAccount", "Account")], "src string, tgt string, range string"
+    )
+    cls_df = spark.createDataFrame([("e", "DemandDepositAccount")], "src string, tgt string")
+    data_df = spark.createDataFrame(
+        [("e", "dpBalance", "Account")], "src string, tgt string, domain string"
+    )
+    df = find_nary_paths(obj_df, cls_df, data_df, closure_df, ["src"])
+    got = {(r.obj_cand, r.cls_cand, r.data_cand) for r in df.collect()}
+    assert got == py_paths

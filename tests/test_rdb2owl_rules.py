@@ -110,3 +110,18 @@ def test_domran_union_merge():
     props = rdb2owl_object_properties([dim, c1], classes)
     dr = props["p_c1_dim"]
     assert dr.rules == {"r1"} and dr.domains == {"c1"} and dr.ranges == {"dim"}
+
+
+def test_objprop_r6_mixed_classed_unclassed_no_selfref():
+    """Reference objPropRule6 keeps null tClass() results in the set before
+    the size-1 test: a junction referencing one classed and one UNCLASSED
+    table yields refs = {person, None} → size 2 → no symmetric property."""
+    # 'orphan' is never passed to rdb2owl_classes → unclassed
+    mixed = spec(
+        "person_orphan", ["a", "b"], ["a", "b"],
+        [FK("a", "person", "pid"), FK("b", "orphan", "oid")],
+    )
+    tables = [PERSON, mixed]
+    classes = rdb2owl_classes([PERSON])
+    props = rdb2owl_object_properties(tables, classes)
+    assert not any("r6" in dr.rules for dr in props.values())
