@@ -169,7 +169,14 @@ def ngram_jaccard_pairs(
     |A∩B| from the shingle join, |A|/|B| from per-doc distinct counts;
     shingles with df > max_shingle_df are pruned from the JOIN only (they
     still count toward |A|, so Jaccard stays exact for pairs that share at
-    least one rare shingle)."""
+    least one rare shingle).
+
+    CALLER CONTRACT: a pair whose ONLY shared shingles all have df >
+    ``max_shingle_df`` is silently dropped — standard meta-blocking; the
+    head shingles that would surface it are exactly the ones that make the
+    join quadratic. Raise ``max_shingle_df`` (or route such corpora through
+    MinHash-LSH, which has no df cap) if boilerplate-heavy near-dups whose
+    overlap is entirely head shingles must be recalled."""
     sh = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
