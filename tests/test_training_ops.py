@@ -285,3 +285,26 @@ def test_simhash_multirotation_guaranteed_recall(spark):
     for r in simhash_candidates(df, prefix_bits=16, rotations=4).collect():
         expect = bin((sh[r.id_a] ^ sh[r.id_b]) & ((1 << 64) - 1)).count("1")
         assert r.hamming_distance == expect
+
+
+def test_ivf_probe_all_equals_brute_force_and_partial_recall(spark):
+    """Probing ALL inverted lists covers the whole corpus → IVF must equal
+    brute force exactly; probing half the lists keeps useful recall."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.operators.simsearch import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id, r.cosine, r.rank) for r in brute_force_topk(emb, q, k=3).collect()}
+    full = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == bf
+    part_pairs = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, q, k=3, n_centroids=8, n_probe=4).collect()
+    }
+    bf_pairs = {(a, b) for a, b, _c, _r in bf}
+    assert len(part_pairs & bf_pairs) / len(bf_pairs) >= 0.4
