@@ -69,3 +69,51 @@ def stream_transcript_triples(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_episode_ids(turns_stream: DataFrame, gap_seconds: int = 300) -> DataFrame:
+    """Custom STATEFUL streaming operator (``applyInPandasWithState``):
+    per-conversation time-gap sessionization whose state — ``(last turn
+    second, episode counter)``, O(1) per live conversation — carries
+    across micro-batches, so a conversation split over many triggers gets
+    exactly the episode ids the batch window (``operators/episodes.py
+    episode_ids``) computes; tests assert the equality.
+
+    The per-batch computation is fully vectorized pandas (diff + cumsum
+    seeded from state — no per-row Python). Assumes per-conversation
+    arrival in turn order across triggers (file sources deliver in file
+    order); out-of-order ingestion needs a watermark + buffer stage in
+    front, which the stateless emission path deliberately avoids."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def segment(key, pdfs, state: GroupState):
+        last_sec, episode = state.get if state.exists else (None, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values("turn_idx")
+            secs = pdf["ts"].astype("int64") // 1_000_000_000
+            gaps = secs.diff()
+            first_new = last_sec is None or int(secs.iloc[0]) - last_sec > gap_seconds
+            new_ep = gaps > gap_seconds
+            new_ep.iloc[0] = first_new
+            eps = episode + new_ep.cumsum().astype("int32")
+            episode = int(eps.iloc[-1])
+            last_sec = int(secs.iloc[-1])
+            yield pd.DataFrame(
+                {"conv_id": pdf["conv_id"], "turn_idx": pdf["turn_idx"], "episode": eps}
+            )
+        state.update((last_sec, episode))
+
+    return (
+        turns_stream.select("conv_id", "turn_idx", "ts")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            segment,
+            "conv_id string, turn_idx int, episode int",
+            "last_sec long, episode int",
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -50,3 +50,53 @@ def test_streaming_matches_batch_and_is_exactly_once(spark, tmp_path):
         .filter("count > 1")
     )
     assert rows.isEmpty()
+
+
+def test_stateful_streaming_episodes_match_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: per-conversation state must
+    carry across micro-batches AND across query restarts (checkpoint state
+    recovery), producing exactly the batch window's episode ids."""
+    from knowledgegraphs_spark.operators.episodes import episode_ids
+    from knowledgegraphs_spark.streaming.incremental import (
+        TRANSCRIPT_SCHEMA,
+        stream_episode_ids,
+    )
+
+    inp = str(tmp_path / "turns_in")
+    out = str(tmp_path / "eps_out")
+    ckpt = str(tmp_path / "eps_ckpt")
+    os.makedirs(inp)
+
+    all_turns = synthesize_transcripts(spark, n_conversations=20, seed=11)
+    # split every conversation mid-way: episodes MUST continue across the
+    # trigger boundary through the state store
+    b1 = all_turns.filter(all_turns.turn_idx <= 3)
+    b2 = all_turns.filter(all_turns.turn_idx > 3)
+
+    def run_stream():
+        stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(inp)
+        q = (
+            stream_episode_ids(stream, gap_seconds=300)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    b1.write.parquet(os.path.join(inp, "batch=1"))
+    run_stream()
+    b2.write.parquet(os.path.join(inp, "batch=2"))
+    run_stream()
+
+    got = {
+        (r.conv_id, r.turn_idx): r.episode
+        for r in spark.read.parquet(out).collect()
+    }
+    expected = {
+        (r.conv_id, r.turn_idx): r.episode
+        for r in episode_ids(all_turns, gap_seconds=300).collect()
+    }
+    assert got == expected and got
