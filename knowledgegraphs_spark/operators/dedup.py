@@ -224,12 +224,31 @@ def minhash_lsh_candidates(
     banded = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(keys).alias("band", "key")
     ).filter(F.col("key").isNotNull())
-    a = banded.select(F.col("doc_id").alias("id_a"), "band", "key")
-    b = banded.select(F.col("doc_id").alias("id_b"), "band", "key")
+    # Pairs come from a bucket groupBy + in-bucket combination explode, NOT
+    # a self-join: Spark computes each side of a self-join independently
+    # (no cross-side CSE), so the join form evaluated the whole signature
+    # chain TWICE — the plan showed two ArrowEvalPython / two fold
+    # projections and zero ReusedExchange. This shape hashes once and
+    # shuffles once. Memory: collect_list holds one bucket's doc ids
+    # (8 B/doc — a 1M-doc exact-dup bucket is 8 MB); the quadratic part is
+    # the pair OUTPUT, identical in both shapes.
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .dropDuplicates()
     )
 
