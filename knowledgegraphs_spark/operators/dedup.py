@@ -279,17 +279,27 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("doc_id"), F.explode(shingles(F.col(text_col), n)).alias("shingle")
     ).dropDuplicates(["doc_id", "shingle"])
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    rare = sh.join(
-        sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-            (F.col("df") >= 2) & (F.col("df") <= max_shingle_df)
-        ),
-        "shingle",
-    ).select("doc_id", "shingle")
-    a = rare.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = rare.select(F.col("doc_id").alias("id_b"), "shingle")
+    # per-shingle doc lists (df-pruned) → in-bucket combination explode:
+    # one aggregation, no self-join (a join's two sides are planned
+    # independently, so the join form re-ran the shingle explode twice).
+    # Bucket lists are bounded by max_shingle_df — collect_list is ≤ df·8 B.
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -369,8 +379,27 @@ def simhash_candidates(
     banded = hashed.select(
         "doc_id", "simhash", F.explode(F.array(*[bucket(r) for r in range(rotations)])).alias("bk")
     ).select("doc_id", "simhash", "bk.rot", "bk.bucket")
-    a = banded.select(F.col("doc_id").alias("id_a"), "rot", "bucket", F.col("simhash").alias("sh_a"))
-    b = banded.select(F.col("doc_id").alias("id_b"), "rot", "bucket", F.col("simhash").alias("sh_b"))
-    pairs = a.join(b, ["rot", "bucket"]).filter(F.col("id_a") < F.col("id_b"))
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming_distance")).dropDuplicates()
+    # bucket groupBy + in-bucket combinations, not a self-join — the join
+    # form evaluated the SimHash UDF once per side (see minhash_lsh_candidates)
+    members = F.sort_array(F.collect_list(F.struct("doc_id", "simhash")))
+    buckets = (
+        banded.groupBy("rot", "bucket").agg(members.alias("ms")).filter(F.size("ms") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("id_a"),
+                    y["doc_id"].alias("id_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias("hamming_distance"),
+                ),
+            ),
+        )
+    )
+    return (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming_distance")
+        .dropDuplicates()
+    )

@@ -59,18 +59,33 @@ def blocking_pairs(
     tok = tokenize_surfaces(surfaces, col).dropDuplicates([col, "token"])
     if n_surfaces is None:
         n_surfaces = surfaces.count()
-    df_per_token = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    kept = df_per_token.filter((F.col("df") <= max_token_df) & (F.col("df") >= 2)).withColumn(
-        "idf", F.log(F.lit(float(max(n_surfaces, 2))) / F.col("df"))
+    # ONE aggregation builds the inverted index: df, IDF and the posting
+    # list together — the previous shape (df agg + broadcast join back +
+    # token self-join) tokenized every surface twice, because a self-join's
+    # sides are planned independently. Posting lists are capped at
+    # ``max_token_df`` (≤ df·surface bytes), and in-bucket combination
+    # explode emits each unordered pair once per shared token.
+    buckets = (
+        tok.groupBy("token")
+        .agg(F.sort_array(F.collect_list(col)).alias("ms"))
+        .withColumn("df", F.size("ms"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_token_df))
+        .withColumn("idf", F.log(F.lit(float(max(n_surfaces, 2))) / F.col("df")))
     )
-    indexed = tok.join(F.broadcast(kept), "token")
-    left = indexed.select(F.col(col).alias("src"), "token", "idf")
-    right = indexed.select(F.col(col).alias("tgt"), "token")
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + F.lit(2), F.size(F.col("ms"))),
+                lambda y: F.struct(x.alias("src"), y.alias("tgt")),
+            ),
+        )
+    )
     pairs = (
-        left.join(right, "token")
-        .filter(F.col("src") < F.col("tgt"))  # unordered pairs once
-        .groupBy("src", "tgt")
+        buckets.select(F.explode(pair_structs).alias("p"), "idf")
+        .groupBy("p.src", "p.tgt")
         .agg(F.sum("idf").alias("idf_sum"))
+        .select(F.col("src"), F.col("tgt"), "idf_sum")
     )
     w = W.partitionBy("src").orderBy(F.col("idf_sum").desc(), F.col("tgt"))
     return (
