@@ -191,3 +191,56 @@ def test_m1_weights_seam_projection_deterministic(spark, tmp_path):
     once, twice = embs(cfg), embs(cfg)
     assert once == twice                      # deterministic across runs
     assert once != embs(MatchConfig())        # and actually a different model
+
+
+def test_m5_finetune_projection_reduces_pair_loss_and_feeds_seam(spark, tmp_path):
+    """M5 analog: the closed-form distributed ridge fit must (a) strictly
+    reduce the synonym-pair objective vs the identity projection — it is
+    the global optimum of that objective — (b) be bit-deterministic across
+    runs, and (c) round-trip through the M1 weight-loading seam."""
+    import numpy as np
+
+    from knowledgegraphs_spark.functions.embeddings import encode_strings
+    from knowledgegraphs_spark.functions.finetune import (
+        fit_projection,
+        objective,
+        save_projection,
+    )
+
+    # planted synonym structure: abbreviation-ish surface → full form
+    pairs = spark.createDataFrame(
+        [
+            ("acct bal", "account balance"),
+            ("acct no", "account number"),
+            ("cust nm", "customer name"),
+            ("intr rate", "interest rate"),
+            ("ord dt", "order date"),
+            ("shp addr", "shipping address"),
+        ]
+        * 4,
+        "a string, b string",
+    )
+    cfg = MatchConfig()
+    w = fit_projection(pairs, cfg, reg=1e-3)
+    w2 = fit_projection(pairs, cfg, reg=1e-3)
+    assert np.array_equal(w, w2)                       # deterministic
+    ident = np.eye(cfg.embedding_dim, dtype=np.float32)
+    assert objective(pairs, w, cfg) < objective(pairs, ident, cfg)
+
+    wpath = save_projection(str(tmp_path / "trained.npz"), w)
+    df = spark.createDataFrame([("acct bal",), ("account balance",)], "mention string")
+    out = {
+        r.mention: np.array(r.emb, dtype=np.float32)
+        for r in encode_strings(df, "mention", "emb", MatchConfig(weights_path=wpath)).collect()
+    }
+    # trained projection pulls the synonym pair together vs the raw encoder
+    raw = {
+        r.mention: np.array(r.emb, dtype=np.float32)
+        for r in encode_strings(df, "mention", "emb", cfg).collect()
+    }
+
+    def cos(d):
+        a, b = d["acct bal"], d["account balance"]
+        return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(out) > cos(raw)
