@@ -91,3 +91,63 @@ def test_set_as_initial_match():
     m = ElementMapping(type="ObjectProperty", ontoEl="kg:p", match=["do:x"])
     m.set_as_initial_match()
     assert m.match == [] and m.initialMatch == ["do:x"]
+
+
+# --- S14: GraphDB (RDF4J-protocol) sink vs a local stdlib HTTP server -------
+
+
+def test_graphdb_sink_protocol_and_parallel_upload(spark, triples):
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from knowledgegraphs_spark.sinks.graphdb import create_repository, upload_triples
+
+    received = {"puts": [], "posts": [], "deletes": 0}
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n).decode("utf-8")
+
+        def do_PUT(self):
+            with lock:
+                received["puts"].append((self.path, self._body()))
+            self.send_response(204)
+            self.end_headers()
+
+        def do_POST(self):
+            with lock:
+                received["posts"].append((self.path, self._body()))
+            self.send_response(204)
+            self.end_headers()
+
+        def do_DELETE(self):
+            with lock:
+                received["deletes"] += 1
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    endpoint = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        create_repository(endpoint, "kgtest", rewrite=True)
+        upload_triples(triples.repartition(3), endpoint, "kgtest")
+    finally:
+        srv.shutdown()
+
+    assert received["deletes"] == 1                       # rewrite clears first
+    assert received["puts"] and 'repositoryID "kgtest"' in received["puts"][0][1]
+    stmt_posts = [b for p, b in received["posts"] if p.endswith("/repositories/kgtest/statements")]
+    assert 1 <= len(stmt_posts) <= 3                      # one append per non-empty partition
+    all_ttl = "\n".join(stmt_posts)
+    assert "@prefix kg:" in all_ttl
+    n_lines = sum(
+        1 for body in stmt_posts for line in body.splitlines()
+        if line.endswith(" .") and not line.startswith("@prefix")
+    )
+    assert n_lines == triples.count()
