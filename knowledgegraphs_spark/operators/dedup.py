@@ -44,153 +44,69 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 _MINHASH_SENTINEL = "~"
 
 
-def _md5_signature_udf(k: int):
-    """Arrow-batched md5 MinHash: the shingle arrays are computed JVM-side
-    (bit-identical tokenization to the oracle), only the salted digests run
-    here — hashlib's C md5 with per-batch distinct-shingle memoization.
-    Replaced the per-(shingle, salt) JVM MessageDigest expression that cost
-    75 s at sf0.1 in the round-1 driver bench; same digests, so the DuckDB
-    oracle (``md5('i|' || s)``) still hash-matches exactly."""
-    salts = [f"{i}|".encode("utf-8") for i in range(k)]
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def sig(sh_lists: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-        out = []
-        for sh in sh_lists:
-            if sh is None or len(sh) == 0:
-                out.append(None)
-                continue
-            mins: list[str] | None = None
-            for s in sh:
-                hs = cache.get(s)
-                if hs is None:
-                    sb = s.encode("utf-8")
-                    hs = [hashlib.md5(salt + sb).hexdigest() for salt in salts]
-                    cache[s] = hs
-                mins = list(hs) if mins is None else [a if a < b else b for a, b in zip(mins, hs)]
-            out.append(mins)
-        return pd.Series(out)
-
-    return sig
+def _salted_hashes(family: str, k: int):
+    """Per-shingle array of k salted hashes, as JVM expressions for BOTH
+    families — fixed-width/lowercase hex strings whose string `least` is
+    the numeric min. Round-1 measured the md5 family "~15× slower", but
+    that was the banding re-evaluation blowup, not MessageDigest: with the
+    single-evaluation shape below, JVM md5 over ~4 M salted shingles runs
+    in single-digit seconds at sf0.1 — so NO Python is left anywhere in
+    the MinHash path (the earlier Arrow/hashlib variant also paid a
+    30-40 s cold spawn of one Python worker per core on a busy box)."""
+    if family == "md5":
+        return lambda s: F.array(*[F.md5(F.concat(F.lit(f"{i}|"), s)) for i in range(k)])
+    return lambda s: F.array(
+        *[F.lpad(F.hex(F.xxhash64(F.lit(i), s)), 16, "0") for i in range(k)]
+    )
 
 
-def _md5_band_keys_udf(k: int, bands: int):
-    """Arrow-batched md5 MinHash banding: per doc, the k salted min-digests
-    (memoized per distinct shingle) folded straight into ``bands`` band
-    keys — ``md5('|'.join(band slice))``, the exact bytes the DuckDB twin
-    hashes with ``md5(mh0 || '|' || mh1 || …)``."""
-    rows = k // bands
-    salts = [f"{i}|".encode("utf-8") for i in range(k)]
-
-    @F.pandas_udf(T.ArrayType(T.StringType()))
-    def keys(sh_lists: pd.Series) -> pd.Series:
-        cache: dict[str, list[str]] = {}
-        out = []
-        for sh in sh_lists:
-            if sh is None or len(sh) == 0:
-                out.append(None)
-                continue
-            mins: list[str] | None = None
-            for s in sh:
-                hs = cache.get(s)
-                if hs is None:
-                    sb = s.encode("utf-8")
-                    hs = [hashlib.md5(salt + sb).hexdigest() for salt in salts]
-                    cache[s] = hs
-                mins = list(hs) if mins is None else [a if a < b else b for a, b in zip(mins, hs)]
-            out.append(
-                [
-                    hashlib.md5("|".join(mins[b * rows : (b + 1) * rows]).encode("utf-8")).hexdigest()
-                    for b in range(bands)
-                ]
-            )
-        return pd.Series(out)
-
-    return keys
+def _fold_signature(sh, k: int, family: str, finish):
+    per_shingle = F.transform(sh, _salted_hashes(family, k))
+    return F.aggregate(
+        per_shingle,
+        F.array_repeat(F.lit(_MINHASH_SENTINEL), k),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
+        lambda acc: F.when(F.element_at(acc, 1) != _MINHASH_SENTINEL, finish(acc)),
+    )
 
 
 def minhash_signature(text_col: str, k: int = 16, n: int = 3, family: str = "xxhash64"):
     """k-permutation MinHash signature: the i-th hash is min over shingles
-    of a salted hash. Returns NULL for shingle-less docs (callers filter),
-    matching the oracle's ``len(sh) > 0``.
+    of a salted hash (``family`` = ``xxhash64`` — the codegen'd production
+    default — or ``md5``, bit-identical to the DuckDB oracle twin). NULL
+    for shingle-less docs, matching the oracle's ``len(sh) > 0``.
 
-    ``family="xxhash64"`` (default, the 100-TB path): seed-salted native
-    64-bit hashing, whole-stage codegen'd — k hashes per shingle are cheap
-    longs, zero Python in the plan. ``family="md5"``: hex-string digests
-    (min under string order), bit-identical to the DuckDB oracle twin —
-    computed in an Arrow-batched hashlib UDF (see ``_md5_signature_udf``).
-
-    Shape note for the codegen path: ONE ``transform`` computes all k
-    salted hashes per shingle, then ``aggregate``+``zip_with(least)`` folds
-    the element-wise min. The naive form — k separate
-    ``array_min(transform(shingles,...))`` — inlines the shingle expression
-    k times after Catalyst project collapse, and interpreted evaluation
-    then rebuilds the shingle array per element: O(k·|sh|²) string work per
-    row, which turned a seconds-scale scan into a hang at 5 000 docs."""
+    Shape: ONE ``transform`` computes all k salted hashes per shingle,
+    then ``aggregate`` + ``zip_with(least)`` folds the element-wise min —
+    k separate ``array_min(transform(...))`` would re-inline the shingle
+    expression k times after Catalyst project collapse."""
     sh = shingles(F.col(text_col), n)
-    if family == "md5":
-        return F.when(F.size(sh) > 0, _md5_signature_udf(k)(sh))
-    # fixed-width hex so string `least` == numeric min; same banding code
-    # path for both families
-    per_shingle = F.transform(
-        sh,
-        lambda s: F.array(
-            *[F.lpad(F.hex(F.xxhash64(F.lit(i), s)), 16, "0") for i in range(k)]
-        ),
-    )
-    init = F.array_repeat(F.lit(_MINHASH_SENTINEL), k)
-    folded = F.aggregate(
-        per_shingle,
-        init,
-        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-    )
-    return F.when(F.size(sh) > 0, folded)
+    return _fold_signature(sh, k, family, lambda acc: acc)
 
 
 def minhash_band_keys(
     text_col: str, k: int = 16, bands: int = 4, n: int = 3, family: str = "xxhash64"
 ):
-    """array<string> of ``bands`` LSH band keys (md5 over the band's slice
-    of the signature), NULL for shingle-less docs.
+    """array<string> of ``bands`` LSH band keys (md5 over the '|'-joined
+    band slice of the signature), NULL for shingle-less docs.
 
     The banding MUST happen where the signature is a BOUND value, not a
     re-derivable expression: building band keys from ``element_at(sig, …)``
     in a later projection lets Catalyst's project-collapse substitute the
     whole signature fold into every element reference — 16 re-evaluations
-    of the full MinHash per row, measured 45.9 s vs 4.4 s for the fold
-    alone at sf0.1. Here the codegen path emits the keys in the
-    ``aggregate`` FINISH lambda (``acc`` is a lambda variable — bound once,
-    never re-derived), and the md5 path slices the Arrow-UDF output
-    attribute (single ArrowEvalPython eval)."""
+    of the full MinHash per row (measured 45.9 s vs 4.4 s for the fold
+    alone at sf0.1). Here the keys are emitted in the ``aggregate`` FINISH
+    lambda: ``acc`` is a lambda variable — bound once, never re-derived."""
     rows = k // bands
 
-    def band_keys_of(sig_col):
+    def band_keys_of(sig):
         return F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.md5(F.concat_ws("|", F.slice(sig_col, b * rows + 1, rows))),
+            lambda b: F.md5(F.concat_ws("|", F.slice(sig, b * rows + 1, rows))),
         )
 
     sh = shingles(F.col(text_col), n)
-    if family == "md5":
-        # Spark rejects UDF outputs inside higher-order-function lambdas,
-        # so the band digest (md5 of the '|'-joined band slice — the same
-        # bytes the SQL twin hashes) is computed in the UDF as well
-        return _md5_band_keys_udf(k, bands)(sh)
-    per_shingle = F.transform(
-        sh,
-        lambda s: F.array(
-            *[F.lpad(F.hex(F.xxhash64(F.lit(i), s)), 16, "0") for i in range(k)]
-        ),
-    )
-    return F.aggregate(
-        per_shingle,
-        F.array_repeat(F.lit(_MINHASH_SENTINEL), k),
-        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.least(a, b)),
-        lambda acc: F.when(
-            F.element_at(acc, 1) != _MINHASH_SENTINEL, band_keys_of(acc)
-        ),
-    )
+    return _fold_signature(sh, k, family, band_keys_of)
 
 
 def minhash_lsh_candidates(
@@ -210,16 +126,14 @@ def minhash_lsh_candidates(
     see :func:`minhash_band_keys` for why the keys are emitted inside the
     signature fold.
 
-    The md5 family's hashing runs in an Arrow UDF, so its parallelism is
-    the INPUT partitioning — a single small parquet file would pin ~4M
-    digests to one core (measured 30 s vs 10 s at sf0.1). When the scan
-    has fewer partitions than cores, fan out first; the extra exchange is
-    a few MB of text here, and irrelevant for the production (xxhash64)
-    family, which never takes this branch."""
-    if family == "md5":
-        target = docs.sparkSession.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < target:
-            docs = docs.repartition(target)
+    Hashing parallelism is the INPUT partitioning — a single small
+    parquet file would pin all digests to one core. When the scan has
+    fewer partitions than cores, fan out first; the extra exchange is a
+    few MB of text at test scale and never fires at production scale
+    (partitions ≫ cores)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     keys = minhash_band_keys(text_col, k, bands, n, family)
     banded = docs.select(
         F.col(id_col).alias("doc_id"), F.posexplode(keys).alias("band", "key")

@@ -99,3 +99,33 @@ def test_dicom_scan_to_triples(spark, tmp_path):
         "has_SOPInstanceUID",
         "1.2.3.2",
     ) in got
+
+
+def test_parse_implicit_vr_le():
+    """Implicit VR Little Endian: no VR bytes, 4-byte lengths, types from
+    the embedded dictionary."""
+    from knowledgegraphs_spark.sources.dicom import parse_dicom_bytes
+
+    def iel(group, elem, value: bytes) -> bytes:
+        return struct.pack("<HHI", group, elem, len(value)) + value
+
+    meta = _el(0x0002, 0x0010, "UI", _pad("1.2.840.10008.1.2"))
+    dataset = (
+        iel(0x0008, 0x0060, _pad("US"))          # Modality (CS via dict)
+        + iel(0x0010, 0x0020, _pad("P009"))      # PatientID (LO via dict)
+        + iel(0x0028, 0x0010, struct.pack("<H", 7))  # Rows (US via dict)
+    )
+    dson, pixel, tags = parse_dicom_bytes(b"\x00" * 128 + b"DICM" + meta + dataset)
+    assert dson["Modality"] == "US"
+    assert dson["PatientID"] == "P009"
+    assert dson["Rows"] == 7
+    assert pixel is None
+    assert ("(0028,0010)", "Rows", "US") in set(tags)
+
+
+def test_parse_rejects_unknown_transfer_syntax():
+    from knowledgegraphs_spark.sources.dicom import parse_dicom_bytes
+
+    meta = _el(0x0002, 0x0010, "UI", _pad("1.2.840.10008.1.2.4.50"))  # JPEG
+    with pytest.raises(ValueError, match="transfer syntax"):
+        parse_dicom_bytes(b"\x00" * 128 + b"DICM" + meta)
