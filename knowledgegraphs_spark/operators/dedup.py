@@ -1,15 +1,19 @@
 """Deduplication operators for training-data pipelines.
 
-Exact (hash groupBy), MinHash+LSH (shingle → k md5-salted min-hashes → band
-→ bucket join), word-n-gram Jaccard (shingle-explode join), and SimHash
-(vectorized pandas UDF). MinHash/Jaccard/exact use md5 everywhere so the
-DuckDB oracles compute bit-identical values; SimHash is the Arrow-UDF path
-(rows-only driver check, pytest-verified against a pure-Python twin).
+Exact (hash groupBy), MinHash+LSH (shingle → k salted min-hashes →
+band-key buckets), word-n-gram Jaccard (shingle-bucket combination), and
+SimHash (numpy-vectorized Arrow UDF, multi-rotation buckets). The md5
+MinHash/Jaccard/exact paths use md5 everywhere so the DuckDB oracles
+compute bit-identical values; SimHash's bit-vote is reproduced in SQL too.
 
-Scale notes: the shingle join prunes shingles with document frequency above
-``max_shingle_df`` (head shingles produce quadratic candidate blow-up —
-same meta-blocking practice as the mention matcher); LSH replaces the
-all-pairs join with b bucket joins, each skew-safe under AQE.
+Scale notes: candidate pairs come from bucket ``groupBy`` +
+``collect_list`` + in-bucket combination explode, NEVER a self-join — a
+self-join's sides are planned independently, so the join form evaluates
+the whole upstream (shingling, signature folds, UDFs) once per side.
+Shingles with document frequency above ``max_shingle_df`` are pruned
+(head shingles produce quadratic candidate blow-up — the same
+meta-blocking practice as the mention matcher); posting lists stay
+bounded by those df caps.
 """
 
 from __future__ import annotations
