@@ -308,3 +308,47 @@ def test_ivf_probe_all_equals_brute_force_and_partial_recall(spark):
     }
     bf_pairs = {(a, b) for a, b, _c, _r in bf}
     assert len(part_pairs & bf_pairs) / len(bf_pairs) >= 0.4
+
+
+def test_xxhash64_twin_on_generated_corpus(spark):
+    """Primitive parity on a 100-string deterministic corpus (md5-derived
+    lengths/contents — varied sizes cross the 4/8/32-byte XXH64 regimes)."""
+    import hashlib as _h
+    import struct as _struct
+
+    from pyspark.sql import functions as F
+
+    texts = []
+    for i in range(100):
+        h = _h.md5(f"corpus{i}".encode()).hexdigest()
+        texts.append((h * ((i % 7) + 1))[: (i * 13) % 90 + 1])
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    rows = df.select("s", F.xxhash64(F.lit(3), F.col("s")).alias("h")).collect()
+    for r in rows:
+        seed = _xxh64(_struct.pack("<i", 3), 42)
+        assert (r["h"] & _M64) == _xxh64(r["s"].encode("utf-8"), seed), r["s"]
+
+
+def test_bucket_combination_explode_counts(spark):
+    """The in-bucket pair explosion must emit exactly C(n,2) ordered pairs
+    for an n-duplicate bucket, for every n — guards the slice/index logic
+    that replaced the self-join."""
+    from knowledgegraphs_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = []
+    doc_id = 0
+    text_of = {}
+    for n in (2, 3, 4, 5, 6):
+        body = " ".join(f"grp{n}tok{i}" for i in range(20))
+        for _ in range(n):
+            rows.append((doc_id, body))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(df).collect()}
+    expected = set()
+    start = 0
+    for n in (2, 3, 4, 5, 6):
+        ids = list(range(start, start + n))
+        expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
+        start += n
+    assert pairs == expected
