@@ -99,6 +99,50 @@ def lsh_bucket_expr(vec, dim: int, n_bits: int, rotation: int):
     return out
 
 
+def lsh_all_rotations_udf(n_bits: int, rotations: int):
+    """ALL rotation buckets for each vector in one Arrow pass —
+    array<int>, index = rotation. One batch matrix multiply per rotation
+    instead of one full-corpus UDF invocation per rotation per join side."""
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        out = np.empty((mat.shape[0], rotations), dtype=np.int32)
+        for r in range(rotations):
+            planes = _hyperplanes(mat.shape[1], n_bits, r)
+            out[:, r] = (((mat @ planes.T) > 0) @ weights).astype(np.int32)
+        return pd.Series(list(out))
+
+    return buckets
+
+
+def _rotation_buckets(
+    df: DataFrame,
+    out_id: str,
+    id_col: str,
+    vec_col: str,
+    n_bits: int,
+    rotations: int,
+    expr_dim: int | None,
+) -> DataFrame:
+    """(out_id, rot, bucket) — every rotation from ONE pass over the
+    vectors. The per-rotation-DataFrame form evaluated the bucket
+    computation once per rotation per join branch (the dedup module's
+    self-join lesson); here buckets are an array in a single projection
+    and candidates carry IDS ONLY — vectors are fetched back by id
+    afterwards, so the expensive pass happens exactly once."""
+    if expr_dim is not None:
+        arr = F.array(
+            *[lsh_bucket_expr(F.col(vec_col), expr_dim, n_bits, r) for r in range(rotations)]
+        )
+    else:
+        arr = lsh_all_rotations_udf(n_bits, rotations)(F.col(vec_col))
+    return df.select(
+        F.col(id_col).alias(out_id), F.posexplode(arr).alias("rot", "bucket")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -109,28 +153,25 @@ def lsh_topk(
     vec_col: str = "embedding",
     expr_buckets_dim: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: union of per-rotation bucket joins, exact cosine
-    re-rank within candidates. ~2^n_bits× less work than brute force per
-    rotation at large corpus sizes."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    cand_parts = []
-    for r in range(rotations):
-        if expr_buckets_dim is not None:
-            cb = c.withColumn("bucket", lsh_bucket_expr(F.col("c_vec"), expr_buckets_dim, n_bits, r))
-            qb = q.withColumn("bucket", lsh_bucket_expr(F.col("q_vec"), expr_buckets_dim, n_bits, r))
-        else:
-            bucket = lsh_bucket_udf(n_bits, r)
-            cb = c.withColumn("bucket", bucket(F.col("c_vec")))
-            qb = q.withColumn("bucket", bucket(F.col("q_vec")))
-        cand_parts.append(qb.join(cb, "bucket").drop("bucket"))
-    cands = cand_parts[0]
-    for part in cand_parts[1:]:
-        cands = cands.unionByName(part)
-    cands = cands.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
+    """Approximate top-k: one (rot, bucket)-keyed join over all rotations,
+    exact cosine re-rank within deduped candidate id pairs — vectors are
+    joined back by id, the same fetch-back shape as the SQL oracle.
+    ~2^n_bits× less work than brute force per rotation at large corpora."""
+    cb = _rotation_buckets(corpus, "neighbor_id", id_col, vec_col, n_bits, rotations, expr_buckets_dim)
+    qb = _rotation_buckets(queries, "query_id", id_col, vec_col, n_bits, rotations, expr_buckets_dim)
+    cands = (
+        qb.join(cb, ["rot", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
     )
-    scored = cands.withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        cands.join(qv, "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", F.round(cosine_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -227,21 +268,35 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold, LSH-blocked
-    (id_a < id_b). The embedding analog of the text near-dup operators."""
-    c = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    parts = []
-    for r in range(rotations):
-        bucket = lsh_bucket_udf(n_bits, r)
-        b = c.withColumn("bucket", bucket(F.col("vec")))
-        lhs = b.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-        rhs = b.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
-        parts.append(lhs.join(rhs, "bucket").filter(F.col("id_a") < F.col("id_b")).drop("bucket"))
-    pairs = parts[0]
-    for p in parts[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    (id_a < id_b). The embedding analog of the text near-dup operators:
+    one bucket pass, in-bucket id combinations (no self-join), vectors
+    fetched back by id for the exact gate."""
+    b = _rotation_buckets(corpus, "id", id_col, vec_col, n_bits, rotations, None)
+    buckets = (
+        b.groupBy("rot", "bucket")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    pairs = (
+        buckets.select(F.explode(pair_structs).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .dropDuplicates()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
     return (
-        pairs.withColumn("cosine", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
