@@ -138,7 +138,14 @@ def score_pairs(
     pairs: DataFrame, surfaces: DataFrame, cfg: MatchConfig | None = None
 ) -> DataFrame:
     """Append BES (cosine×100, JVM-side dot product over broadcast-joined
-    embeddings) and PJ/PJPerc/cLen (Arrow-batched pandas UDF) to each pair."""
+    embeddings) and PJ/PJPerc/cLen (Arrow-batched pandas UDF) to each pair.
+
+    Scale assumption: the broadcast hints presume the DISTINCT-surface
+    embedding table fits in executor memory (the M2 cache contract —
+    schema-element vocabularies, not row-scale data). For corpora whose
+    distinct vocabulary outgrows the broadcast threshold, drop the hints
+    and let AQE pick a shuffle join keyed on the surface — the plan is
+    otherwise unchanged."""
     cfg = cfg or MatchConfig()
     emb = encode_strings(surfaces.select("mention").dropDuplicates(), "mention", "emb", cfg)
     e_src = emb.select(F.col("mention").alias("src"), F.col("emb").alias("emb_src"))
