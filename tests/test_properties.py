@@ -145,3 +145,31 @@ def test_repair_headers_unique_and_padded(headers, extra):
 def test_decide_type_total_function(n, n_sent, n_fmt, n_int, n_dbl, n_bad_int, n_bad_dbl, n_not_bool, n_distinct, zf, ot):
     out = decide_type(n, n_sent, n_fmt, n_int, n_dbl, n_bad_int, n_bad_dbl, n_not_bool, n_distinct, zf, ot)
     assert out in {"boolean", "timestamp", "varchar", "double", "int"}
+
+
+@settings(max_examples=300)
+@given(text, text)
+def test_near_dup_batch_equals_scalar(a, b):
+    """The memoized batch twin must be bit-identical to the scalar
+    predicate (both modes), and the predicate symmetric."""
+    from knowledgegraphs_spark.functions.similarity import _near_dup_batch
+
+    for strict in (False, True):
+        scalar = is_near_duplicate(a, b, strict=strict)
+        assert _near_dup_batch([a], [b], strict=strict) == [scalar]
+        assert is_near_duplicate(b, a, strict=strict) == scalar
+
+
+@settings(max_examples=200)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+def test_nd_process_invariants(s):
+    """concat is the token join; noPunct preserves length; tokens contain
+    no punctuation."""
+    import string as _string
+
+    from knowledgegraphs_spark.functions.similarity import nd_process
+
+    no_punct, toks, concat = nd_process(s)
+    assert len(no_punct) == len(s)
+    assert concat == "".join(toks)
+    assert not any(c in _string.punctuation for c in concat)
