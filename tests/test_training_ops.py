@@ -130,70 +130,14 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
 
 # --- independent XXH64 twin: proves the production MinHash hash family ------
 
-_M64 = (1 << 64) - 1
-_P1, _P2, _P3, _P4, _P5 = (
-    0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
-    0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5,
+# The twin itself lives in knowledgegraphs_spark/functions/xxh64_twin.py
+# (oracle-build code imports it too); these tests prove it against Spark.
+from knowledgegraphs_spark.functions.xxh64_twin import (  # noqa: E402
+    _M64,
+    minhash_signature_twin,
+    spark_xxhash64_twin as _spark_xxhash64_twin,
+    xxh64 as _xxh64,
 )
-
-
-def _rotl(x: int, r: int) -> int:
-    return ((x << r) | (x >> (64 - r))) & _M64
-
-
-def _xxh64(data: bytes, seed: int) -> int:
-    """Standard XXH64 (public-domain spec), written independently of Spark."""
-    n, i = len(data), 0
-
-    def rd8(j):
-        return int.from_bytes(data[j:j + 8], "little")
-
-    def rd4(j):
-        return int.from_bytes(data[j:j + 4], "little")
-
-    if n >= 32:
-        v1, v2 = (seed + _P1 + _P2) & _M64, (seed + _P2) & _M64
-        v3, v4 = seed & _M64, (seed - _P1) & _M64
-        while i + 32 <= n:
-            v1 = (_rotl((v1 + rd8(i) * _P2) & _M64, 31) * _P1) & _M64
-            v2 = (_rotl((v2 + rd8(i + 8) * _P2) & _M64, 31) * _P1) & _M64
-            v3 = (_rotl((v3 + rd8(i + 16) * _P2) & _M64, 31) * _P1) & _M64
-            v4 = (_rotl((v4 + rd8(i + 24) * _P2) & _M64, 31) * _P1) & _M64
-            i += 32
-        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
-        for v in (v1, v2, v3, v4):
-            h ^= (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
-            h = (h * _P1 + _P4) & _M64
-    else:
-        h = (seed + _P5) & _M64
-    h = (h + n) & _M64
-    while i + 8 <= n:
-        h ^= (_rotl((rd8(i) * _P2) & _M64, 31) * _P1) & _M64
-        h = (_rotl(h, 27) * _P1 + _P4) & _M64
-        i += 8
-    if i + 4 <= n:
-        h ^= (rd4(i) * _P1) & _M64
-        h = (_rotl(h, 23) * _P2 + _P3) & _M64
-        i += 4
-    while i < n:
-        h ^= (data[i] * _P5) & _M64
-        h = (_rotl(h, 11) * _P1) & _M64
-        i += 1
-    h ^= h >> 33
-    h = (h * _P2) & _M64
-    h ^= h >> 29
-    h = (h * _P3) & _M64
-    h ^= h >> 32
-    return h
-
-
-def _spark_xxhash64_twin(i: int, s: str) -> int:
-    """Spark's F.xxhash64(lit(i), s): seed 42, each arg's hash seeds the
-    next; an int arg hashes as its 4 little-endian bytes, a string as its
-    UTF-8 bytes."""
-    import struct
-
-    return _xxh64(s.encode("utf-8"), _xxh64(struct.pack("<i", i), 42))
 
 
 def test_xxhash64_family_matches_independent_xxh64(spark):
@@ -228,10 +172,7 @@ def test_xxhash64_family_matches_independent_xxh64(spark):
         if not r["sh"]:
             assert r["sig"] is None
             continue
-        expect = [
-            format(min(_spark_xxhash64_twin(i, s) for s in r["sh"]), "016X")
-            for i in range(k)
-        ]
+        expect = minhash_signature_twin(list(r["sh"]), k)
         assert list(r["sig"]) == expect
         checked += 1
     assert checked >= 3
