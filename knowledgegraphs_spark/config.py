@@ -51,6 +51,13 @@ class MatchConfig:
     # the plain hashing encoder. Identity weights reproduce it exactly.
     weights_path: str | None = None
     predict_batch_size: int = 32   # reference bertmap_main.py:136-137
+    # M2 cache contract: broadcast the distinct-surface embedding table into
+    # the scoring joins. True assumes the vocabulary fits in executor memory
+    # (schema-element vocabularies, not row-scale data); set False for
+    # corpora whose distinct vocabulary outgrows the broadcast threshold —
+    # the joins then shuffle on the surface key (AQE handles skew) with an
+    # otherwise identical plan and identical results.
+    broadcast_embeddings: bool = True
 
 
 @dataclass(frozen=True)

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from ..config import EngineConfig
 
@@ -219,12 +218,34 @@ def canonical_mapping(
     concat_len = F.length(
         F.regexp_replace(F.lower(no_punct), r"[^\p{L}\p{N}_]+", "")
     )
-    n_white = F.length(no_punct) - concat_len
-    w = W.partitionBy("component").orderBy(
-        concat_len.asc(), n_white.desc(), F.col("mention").asc()
+    feat = labeled.select(
+        "mention",
+        "component",
+        no_punct.alias("no_punct"),
+        concat_len.alias("c_len"),
+    ).withColumn("n_white", F.length("no_punct") - F.col("c_len"))
+    # Per-component canonical via groupBy + min_by, NOT a whole-partition
+    # window: partitionBy("component") lands an entire component on ONE
+    # task, and near-dup graphs of boilerplate-heavy corpora produce mega-
+    # components — min_by partial-aggregates map-side, so the hot key
+    # ships one row per map task instead of every member. The ordering
+    # struct (c_len asc, -n_white asc ≡ n_white desc, mention asc) is
+    # unique per row (mentions are distinct), so the pick is total.
+    picks = feat.groupBy("component").agg(
+        F.min_by(
+            F.col("no_punct"),
+            F.struct(F.col("c_len"), (-F.col("n_white")).alias("nw"), F.col("mention")),
+        ).alias("canonical")
     )
-    canon = labeled.withColumn(
-        "canonical",
-        F.first(no_punct).over(w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)),
-    )
-    return canon.select("mention", "canonical")
+    # join back: the component dim has ≤ n_surfaces rows → broadcast when it
+    # fits, salted shuffle join otherwise (the mega-component hot key is
+    # exactly what the salting defuses).
+    from .skew import join_small_dim
+
+    return join_small_dim(
+        feat.select("mention", "component"),
+        picks,
+        "component",
+        salt_from=["mention"],
+        dim_count=n_surfaces,
+    ).select("mention", "canonical")

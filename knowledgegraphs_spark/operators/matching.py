@@ -143,16 +143,19 @@ def score_pairs(
     Scale assumption: the broadcast hints presume the DISTINCT-surface
     embedding table fits in executor memory (the M2 cache contract —
     schema-element vocabularies, not row-scale data). For corpora whose
-    distinct vocabulary outgrows the broadcast threshold, drop the hints
-    and let AQE pick a shuffle join keyed on the surface — the plan is
-    otherwise unchanged."""
+    distinct vocabulary outgrows the broadcast threshold, set
+    ``cfg.broadcast_embeddings = False``: the joins then shuffle on the
+    surface key (AQE picks the strategy and splits skewed partitions) —
+    the plan is otherwise unchanged and the results identical."""
     cfg = cfg or MatchConfig()
     emb = encode_strings(surfaces.select("mention").dropDuplicates(), "mention", "emb", cfg)
     e_src = emb.select(F.col("mention").alias("src"), F.col("emb").alias("emb_src"))
     e_tgt = emb.select(F.col("mention").alias("tgt"), F.col("emb").alias("emb_tgt"))
+    if cfg.broadcast_embeddings:
+        e_src, e_tgt = F.broadcast(e_src), F.broadcast(e_tgt)
     scored = (
-        pairs.join(F.broadcast(e_src), "src")
-        .join(F.broadcast(e_tgt), "tgt")
+        pairs.join(e_src, "src")
+        .join(e_tgt, "tgt")
         .withColumn("bes", F.round(cosine_col(F.col("emb_src"), F.col("emb_tgt")) * 100.0, 6))
         .drop("emb_src", "emb_tgt")
     )
@@ -233,9 +236,11 @@ def bert_mapping_scores(
     emb = encode_strings(vocab, "mention", "emb", cfg)
     e_src = emb.select(F.col("mention").alias("src_annot"), F.col("emb").alias("emb_s"))
     e_tgt = emb.select(F.col("mention").alias("tgt_annot"), F.col("emb").alias("emb_t"))
+    if cfg.broadcast_embeddings:
+        e_src, e_tgt = F.broadcast(e_src), F.broadcast(e_tgt)
     scored_pairs = (
-        ex.join(F.broadcast(e_src), "src_annot")
-        .join(F.broadcast(e_tgt), "tgt_annot")
+        ex.join(e_src, "src_annot")
+        .join(e_tgt, "tgt_annot")
         .withColumn("pair_score", cosine_col(F.col("emb_s"), F.col("emb_t")) * 100.0)
         .withColumn("exact", (F.col("src_annot") == F.col("tgt_annot")).cast("int"))
     )

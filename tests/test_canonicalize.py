@@ -53,3 +53,31 @@ def test_cc_numeric_component_ids(spark, cfg):
     e = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
     got = {r.node: r.component for r in connected_components(e, cfg).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_canonical_pick_mega_component_no_window(spark):
+    """Planted mega-component (one near-dup group ≫ all others): the
+    distributed canonical pick must (a) match the in-memory twin exactly and
+    (b) contain NO whole-partition Window in the physical plan — the
+    scale-safe shape is groupBy + min_by (map-side partial agg) + join-back,
+    so a pathological component never lands on a single task."""
+    mega = [f"boilerplate header {i:04d}" for i in range(500)]
+    small = ["alpha one", "alpha  one", "beta two"]
+    surfaces = mega + small
+    edges = [(mega[0], m) for m in mega[1:]] + [("alpha one", "alpha  one")]
+
+    sdf = spark.createDataFrame([(s,) for s in surfaces], "mention string").repartition(8)
+    edf = spark.createDataFrame(edges, "src string, tgt string").repartition(8)
+
+    dist = canonical_mapping(sdf, edf, DISTRIBUTED_CFG)
+    plan = dist._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+    got = {r.mention: r.canonical for r in dist.collect()}
+    oracle = {
+        r.mention: r.canonical
+        for r in canonical_mapping(sdf, edf, DRIVER_CFG).collect()
+    }
+    assert got == oracle
+    # the mega component resolved to one canonical for all 500 members
+    assert len({got[m] for m in mega}) == 1

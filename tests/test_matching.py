@@ -244,3 +244,28 @@ def test_m5_finetune_projection_reduces_pair_loss_and_feeds_seam(spark, tmp_path
         return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
 
     assert cos(out) > cos(raw)
+
+
+def test_score_pairs_shuffle_join_variant_identical(spark):
+    """broadcast_embeddings=False (the vocabulary-outgrows-executor-memory
+    setting) must produce bit-identical scores through shuffle joins, and
+    the physical plan must actually lose its broadcast exchanges."""
+    from knowledgegraphs_spark.operators.matching import blocking_pairs
+
+    sdf = _sdf(spark)
+    pairs = blocking_pairs(sdf)
+
+    def rows(cfg):
+        return sorted(
+            (r.src, r.tgt, r.bes, r.pj, r.pj_perc, r.c_len)
+            for r in score_pairs(pairs, sdf, cfg).collect()
+        )
+
+    bcast_cfg = MatchConfig()
+    shuffle_cfg = MatchConfig(broadcast_embeddings=False)
+    assert rows(bcast_cfg) == rows(shuffle_cfg)
+
+    shuffle_plan = (
+        score_pairs(pairs, sdf, shuffle_cfg)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" not in shuffle_plan, shuffle_plan
