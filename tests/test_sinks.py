@@ -151,3 +151,171 @@ def test_graphdb_sink_protocol_and_parallel_upload(spark, triples):
         if line.endswith(" .") and not line.startswith("@prefix")
     )
     assert n_lines == triples.count()
+
+
+# --- S15: Kafka sink vs a local stdlib TCP stub broker (Produce v0) ----------
+
+
+class _StubKafkaBroker:
+    """Minimal broker: accepts connections, parses length-prefixed Produce
+    v0 requests (topic, partition, CRC-checked MessageSet), records every
+    (key, value), replies with a Produce v0 response. ``fail_first`` makes
+    it answer error_code=5 (LeaderNotAvailable) that many times — the
+    retry-loop probe."""
+
+    def __init__(self, fail_first: int = 0):
+        import socket
+        import threading
+
+        self.fail_first = fail_first
+        self.requests = []   # (correlation_id, topic, [(key, value)])
+        self.lock = threading.Lock()
+        self.sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(16)
+        self.port = self.sock.getsockname()[1]
+        self._stop = False
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+        self.thread.start()
+
+    def _serve(self):
+        import struct
+        import zlib
+
+        while not self._stop:
+            try:
+                conn, _ = self.sock.accept()
+            except OSError:
+                return
+            with conn:
+                try:
+                    (size,) = struct.unpack(">i", self._recv(conn, 4))
+                    data = self._recv(conn, size)
+                except (ConnectionError, struct.error):
+                    continue
+                # header: api_key, api_version, correlation_id, client_id
+                api_key, api_version, corr, cid_len = struct.unpack(">hhih", data[:10])
+                assert api_key == 0 and api_version == 0
+                off = 10 + cid_len
+                _acks, _timeout, n_topics = struct.unpack(">hii", data[off:off + 10])
+                assert n_topics == 1
+                off += 10
+                (tlen,) = struct.unpack(">h", data[off:off + 2])
+                topic = data[off + 2:off + 2 + tlen].decode()
+                off += 2 + tlen
+                n_parts, _partition, ms_size = struct.unpack(">iii", data[off:off + 12])
+                assert n_parts == 1
+                off += 12
+                end = off + ms_size
+                msgs = []
+                while off < end:
+                    _o, msize = struct.unpack(">qi", data[off:off + 12])
+                    off += 12
+                    m = data[off:off + msize]
+                    off += msize
+                    (crc,) = struct.unpack(">I", m[:4])
+                    assert crc == (zlib.crc32(m[4:]) & 0xFFFFFFFF), "CRC mismatch"
+                    magic, attrs = struct.unpack(">bb", m[4:6])
+                    assert magic == 0 and attrs == 0
+                    (klen,) = struct.unpack(">i", m[6:10])
+                    p = 10
+                    key = None if klen == -1 else m[p:p + klen]
+                    p += max(klen, 0)
+                    (vlen,) = struct.unpack(">i", m[p:p + 4])
+                    value = m[p + 4:p + 4 + vlen]
+                    msgs.append((key, value))
+                with self.lock:
+                    fail = self.fail_first > 0
+                    if fail:
+                        self.fail_first -= 1
+                    else:
+                        self.requests.append((corr, topic, msgs))
+                err = 5 if fail else 0
+                tp = topic.encode()
+                resp = (
+                    struct.pack(">ii", corr, 1)
+                    + struct.pack(">h", len(tp)) + tp
+                    + struct.pack(">iihq", 1, 0, err, 0)
+                )
+                conn.sendall(struct.pack(">i", len(resp)) + resp)
+
+    @staticmethod
+    def _recv(conn, n):
+        chunks = []
+        while n > 0:
+            c = conn.recv(n)
+            if not c:
+                raise ConnectionError("eof")
+            chunks.append(c)
+            n -= len(c)
+        return b"".join(chunks)
+
+    def close(self):
+        self._stop = True
+        self.sock.close()
+
+
+def test_kafka_socket_sink_end_to_end(spark):
+    """write_kafka(transport='socket') against the stub broker: every row
+    arrives exactly once as CRC-valid (key, JSON value) messages, one
+    produce request per non-empty partition."""
+    import json
+
+    from knowledgegraphs_spark.sinks.kafka import write_kafka
+
+    df = spark.createDataFrame(
+        [(i, f"name {i}") for i in range(20)], "id int, name string"
+    ).repartition(4)
+    broker = _StubKafkaBroker()
+    try:
+        write_kafka(df, f"127.0.0.1:{broker.port}", "pii-results", key_col="id",
+                    transport="socket", retry_wait_s=0.05)
+    finally:
+        broker.close()
+    got = {
+        (k.decode(), json.loads(v.decode())["name"])
+        for _, topic, msgs in broker.requests
+        for (k, v) in msgs
+    }
+    assert {t for _, t, _ in broker.requests} == {"pii-results"}
+    assert got == {(str(i), f"name {i}") for i in range(20)}
+    assert 1 <= len(broker.requests) <= 4
+
+
+def test_kafka_socket_retry_then_success(spark):
+    """The reference's ≤3-retry loop over a real socket: first broker
+    answer is error_code=5, the retry lands, nothing is duplicated."""
+    import json
+
+    from knowledgegraphs_spark.sinks.kafka import write_kafka
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string").coalesce(1)
+    broker = _StubKafkaBroker(fail_first=1)
+    try:
+        write_kafka(df, f"127.0.0.1:{broker.port}", "t", transport="socket",
+                    retry_wait_s=0.05)
+    finally:
+        broker.close()
+    assert len(broker.requests) == 1           # exactly one successful produce
+    corr, _, msgs = broker.requests[0]
+    assert corr == 2                           # second attempt succeeded
+    assert [json.loads(v.decode())["v"] for _, v in msgs] == ["a", "b"]
+
+
+def test_kafka_socket_gives_up_after_retries():
+    """After ``retries`` failed attempts the producer raises — the
+    reference's bounded-retry contract (KafkaProducerService.java:28-55)."""
+    import pytest as _pytest
+
+    from knowledgegraphs_spark.sinks.kafka import produce_via_socket
+
+    broker = _StubKafkaBroker(fail_first=99)
+    try:
+        with _pytest.raises(RuntimeError, match="after 3 attempts"):
+            produce_via_socket(
+                f"127.0.0.1:{broker.port}", "t", [(None, b"x")],
+                retries=3, retry_wait_s=0.01,
+            )
+    finally:
+        broker.close()
