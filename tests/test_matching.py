@@ -269,3 +269,72 @@ def test_score_pairs_shuffle_join_variant_identical(spark):
         score_pairs(pairs, sdf, shuffle_cfg)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" not in shuffle_plan, shuffle_plan
+
+
+def test_m5_finetuned_weights_improve_matcher_pr_on_held_out(spark, tmp_path):
+    """M5→M1 closed loop (reference intent: bert_classifier.py:100-142 —
+    the fine-tuned checkpoint drives prediction quality): weights trained
+    on a synonym-pair fixture measurably improve matcher precision/recall
+    on a HELD-OUT corpus vs identity weights, end-to-end through the real
+    scoring path (encode_strings → score_pairs with weights_path).
+
+    Fixture: 'client <code>' ↔ 'customer <code>' synonym pairs. The raw
+    hashing encoder scores same-role lookalikes ('supplier <code>',
+    'customer <other-code>') ABOVE the true synonym — identity weights
+    predict 0/20 gold matches at the bes_high threshold. The ridge fit
+    learns the client→customer mapping from training codes 0–79 and
+    generalizes to held-out codes 100–119. Deterministic: no randomness
+    anywhere (hashing encoder + closed-form solve)."""
+    import numpy as np  # noqa: F401
+
+    from knowledgegraphs_spark.functions.finetune import fit_projection, save_projection
+    from knowledgegraphs_spark.operators.matching import score_pairs
+
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+             "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+             "oscar", "papa", "quebec", "romeo", "sierra", "tango"]
+
+    def code(i: int) -> str:
+        return f"{words[i % 20]} {words[(i // 20 + i) % 20]} {i:04d}"
+
+    train = []
+    for i in range(80):
+        a, b, s = f"client {code(i)}", f"customer {code(i)}", f"supplier {code(i)}"
+        # synonym pair both directions + identity anchors for the rest of
+        # the vocabulary (keeps W ≈ identity off the learned mapping)
+        train += [(a, b), (b, a), (b, b), (s, s)]
+    train_df = spark.createDataFrame(train, "a string, b string")
+
+    w = fit_projection(train_df, MatchConfig(), reg=1e-3)
+    wpath = save_projection(str(tmp_path / "synonyms.npz"), w)
+
+    held_out = range(100, 120)
+    queries = [f"client {code(i)}" for i in held_out]
+    golds = {q: f"customer {code(i)}" for q, i in zip(queries, held_out)}
+    targets = [f"customer {code(i)}" for i in held_out] + [
+        f"supplier {code(i)}" for i in held_out
+    ]
+    pairs = spark.createDataFrame(
+        [(q, t) for q in queries for t in targets], "src string, tgt string"
+    )
+    surfaces = spark.createDataFrame([(s,) for s in queries + targets], "mention string")
+
+    def precision_recall(cfg: MatchConfig, accept_bes: float = 85.0):
+        scored = score_pairs(pairs, surfaces, cfg).collect()
+        best = {}
+        for r in scored:
+            if r.src not in best or (r.bes, r.tgt) > (best[r.src].bes, best[r.src].tgt):
+                best[r.src] = r
+        predicted = {(r.src, r.tgt) for r in best.values() if r.bes >= accept_bes}
+        gold = set(golds.items())
+        tp = len(predicted & gold)
+        precision = tp / len(predicted) if predicted else 0.0
+        recall = tp / len(gold)
+        return precision, recall
+
+    p_id, r_id = precision_recall(MatchConfig())
+    p_ft, r_ft = precision_recall(MatchConfig(weights_path=wpath))
+    # identity weights: lookalikes outscore every true synonym → nothing
+    # accepted at the threshold; fine-tuned: all 20 gold matches, no FPs
+    assert r_id == 0.0 and p_id == 0.0, (p_id, r_id)
+    assert p_ft == 1.0 and r_ft == 1.0, (p_ft, r_ft)
