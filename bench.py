@@ -5,14 +5,30 @@ cluster-size criterion (N vs 4N cores stands in for N vs 4N executors).
 
 Prints ONE JSON line:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": ...,
-   "turns_per_sec": ..., "scaling": {"n_low": .., "n_high": ..,
-   "tps_low": .., "tps_high": .., "efficiency": ..}}
+   "queries": {name: sec, ...}, "queries_all": {name: sec, ...},
+   "sf": ..., "turns_per_sec": ...,
+   "load_gate": {phase: {"loadavg": .., "observations": [..], ..}},
+   "scaling": {"n_low": .., "n_high": .., "tps_low": .., "tps_high": ..,
+   "efficiency": .., "attempts": [..]}}
+
+Load-avg gating (round-3 protocol): this sandbox shares its host with
+other tenants, and a neighbor burst inflates every wall-clock number with
+zero engine change (round-2 artifact: e2e 14.0 s at loadavg 20.9 vs
+6.4-10.5 s quiet, identical commit). Before the query sweep, the headline
+e2e, and EACH scaling level, the harness now waits (bounded) until the
+1-min load average drops below SPARK_GRAFT_LOAD_GATE and records every
+observation into the artifact — the JSON carries its own quiet-box
+evidence. NOTE: the gate sees OUR OWN decaying load too (1-min EMA), so
+mid-run waits double as settle time between phases; the gate threshold is
+about honesty of the recorded number, not blame.
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_BENCH_CONV (synthetic conversations for the e2e run),
-     SPARK_GRAFT_SCALING=0 to skip the two-level scaling runs.
+     SPARK_GRAFT_SCALING=0 to skip the two-level scaling runs,
+     SPARK_GRAFT_SWEEP=0 to skip the all-queries sweep,
+     SPARK_GRAFT_LOAD_GATE (default 8.0),
+     SPARK_GRAFT_LOAD_GATE_WAIT (max seconds to wait per gate, default 360).
 """
 
 from __future__ import annotations
@@ -33,13 +49,17 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "250000"))
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+RUN_SWEEP = os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
 # scaling pair: N and 4N cores, both kept well under the host's free
-# capacity — this sandbox is a shared 32-core box with a background load of
-# ~10-14 from other tenants, so local[32] measures straggler noise, not us.
+# capacity — local[32] on a 32-core shared box measures straggler noise.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = 4 * SCALE_LOW
 SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
+LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
+GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "360"))
 
+# the round-1/round-2 headline set — kept stable for cross-round per-query
+# regression tables; queries_all below sweeps EVERY contract query.
 OPERATOR_QUERIES = [
     "kg_triples_structural",
     "s9_json_kg_triples",
@@ -52,6 +72,25 @@ OPERATOR_QUERIES = [
     "j1_fk_join_customer_nation",
     "j2_anti_join_containment",
 ]
+
+_LOAD_GATE_LOG: dict[str, dict] = {}
+
+
+def gate_load(phase: str) -> None:
+    """Wait (bounded) until the 1-min load average is below LOAD_GATE;
+    record every observation so the artifact is self-evidently clean."""
+    waited, obs = 0, [round(os.getloadavg()[0], 1)]
+    while obs[-1] > LOAD_GATE and waited < GATE_WAIT_S:
+        time.sleep(15)
+        waited += 15
+        obs.append(round(os.getloadavg()[0], 1))
+    _LOAD_GATE_LOG[phase] = {
+        "loadavg": obs[-1],
+        "observations": obs,
+        "waited_s": waited,
+        "gate": LOAD_GATE,
+        "clean": obs[-1] <= LOAD_GATE,
+    }
 
 
 def _time(fn) -> float:
@@ -74,9 +113,8 @@ def _warmup(spark, tmp: str) -> None:
 
 def _pipeline_seconds(spark, input_path: str, reps: int = REPS) -> tuple[float, int]:
     """Full materialization: write the triples table (count() would let
-    Catalyst prune the triple construction away). Best-of-``reps`` — this
-    sandbox shares its host with other tenants, and a single straggler-hit
-    run measures their load, not this engine."""
+    Catalyst prune the triple construction away). Best-of-``reps`` — a
+    single straggler-hit run measures neighbor load, not this engine."""
     from knowledgegraphs_spark.plans.pipeline import build_kg_triples
 
     turns = spark.read.parquet(input_path)
@@ -99,7 +137,9 @@ def main() -> None:
     tmp = tempfile.mkdtemp(prefix="kg_bench_", dir=tmp_base)
     input_path = os.path.join(tmp, "turns")
     results: dict[str, float] = {}
+    sweep: dict[str, float] = {}
 
+    gate_load("startup")
     spark = get_spark("kg-bench", master=f"local[{CPUS}]", shuffle_partitions=max(CPUS, 32))
     try:
         # materialize the synthetic e2e input once (both scaling levels read it)
@@ -110,10 +150,19 @@ def main() -> None:
         ).parquet(input_path)
 
         qs = entry_mod.queries()
+        gate_load("queries")
         for name in OPERATOR_QUERIES:
             results[name] = _time(lambda q=qs[name]: q(spark, SF_DIR).count())
+        if RUN_SWEEP:
+            # the complete contract sweep (every queries() entry) — headline
+            # names reuse the measurement above, the rest run here once
+            sweep.update(results)
+            for name, q in sorted(qs.items()):
+                if name not in sweep:
+                    sweep[name] = _time(lambda q=q: q(spark, SF_DIR).count())
 
         _warmup(spark, tmp)
+        gate_load("e2e")
         e2e_secs, n_turns = _pipeline_seconds(spark, input_path)
         results["kg_pipeline_e2e"] = e2e_secs
         tps_full = round(n_turns / e2e_secs, 1)
@@ -125,15 +174,16 @@ def main() -> None:
         # The box is shared: a neighbor burst during the 4N window collapses
         # the ratio with zero engine change (observed 1.003 quiet vs 0.617
         # contended, same commit). Measure up to SCALE_ATTEMPTS rounds,
-        # record EVERY attempt (with the 1-min load average seen before
-        # each level) and report the best round — the engine's scaling is
-        # the max over noise windows; the attempts list keeps it honest.
+        # gate + record the load before EVERY level, and report the best
+        # round — the engine's scaling is the max over noise windows; the
+        # attempts list keeps it honest.
         n_low, n_high = SCALE_LOW, SCALE_HIGH
         attempts = []
-        for _ in range(SCALE_ATTEMPTS):
+        for i in range(SCALE_ATTEMPTS):
             tps, loads = {}, {}
             for n in (n_low, n_high):
-                loads[n] = round(os.getloadavg()[0], 1)
+                gate_load(f"scaling_a{i}_n{n}")
+                loads[n] = _LOAD_GATE_LOG[f"scaling_a{i}_n{n}"]["loadavg"]
                 s = get_spark(f"kg-bench-scale-{n}", master=f"local[{n}]", shuffle_partitions=max(n * 2, 16))
                 try:
                     _warmup(s, tmp)
@@ -167,20 +217,20 @@ def main() -> None:
 
     shutil.rmtree(tmp, ignore_errors=True)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "kg_pipeline_e2e_wall",
-                "value": results["kg_pipeline_e2e"],
-                "unit": "sec",
-                "queries": results,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "turns_per_sec": tps_full,
-                "n_synth_conversations": N_CONV,
-                "scaling": scaling,
-            }
-        )
-    )
+    out = {
+        "metric": "kg_pipeline_e2e_wall",
+        "value": results["kg_pipeline_e2e"],
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "turns_per_sec": tps_full,
+        "n_synth_conversations": N_CONV,
+        "load_gate": _LOAD_GATE_LOG,
+        "scaling": scaling,
+    }
+    if RUN_SWEEP:
+        out["queries_all"] = dict(sorted(sweep.items()))
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
