@@ -180,6 +180,111 @@ def lsh_topk(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic spherical k-means coarse quantizer for :func:`ivf_topk`.
+
+    Init = the ``n_centroids`` lowest-id corpus vectors (the same
+    deterministic sample the untrained quantizer uses), then ``n_iters``
+    Lloyd rounds: assign by max cosine, update = L2-normalized mean of the
+    assigned (unit-normalized) vectors. Empty clusters keep their previous
+    centroid, so the count is stable.
+
+    Scale shape (the finetune._moments pattern): each round is ONE
+    ``mapInPandas`` pass — every partition emits a single flattened
+    (n_centroids × (dim+1)) partial-sum row, combined driver-side (k·d
+    doubles, trivially broadcast-sized). No per-round shuffle of the
+    corpus, no RNG anywhere: same input → same centroids on any cluster.
+    """
+    from typing import Iterator
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy("cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.array([[float(x) for x in r["cvec"]] for r in cent_rows], dtype=np.float64)
+    norms = np.linalg.norm(cents, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    cents = cents / norms
+    kc, dim = cents.shape
+    vecs_df = corpus.select(F.col(vec_col).alias("v"))
+
+    for _ in range(max(n_iters, 0)):
+        c_bcast = cents  # captured by value in the closure below
+
+        def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((kc, dim), dtype=np.float64)
+            counts = np.zeros(kc, dtype=np.int64)
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+                n = np.linalg.norm(mat, axis=1, keepdims=True)
+                n[n == 0] = 1.0
+                mat = mat / n
+                assign = (mat @ c_bcast.T).argmax(axis=1)
+                np.add.at(sums, assign, mat)
+                np.add.at(counts, assign, 1)
+            yield pd.DataFrame(
+                {"sums": [sums.ravel().tolist()], "counts": [counts.tolist()]}
+            )
+
+        rows = vecs_df.mapInPandas(part, "sums array<double>, counts array<long>").collect()
+        sums = np.zeros((kc, dim), dtype=np.float64)
+        counts = np.zeros(kc, dtype=np.int64)
+        for r in rows:
+            sums += np.array(r["sums"], dtype=np.float64).reshape(kc, dim)
+            counts += np.array(r["counts"], dtype=np.int64)
+        new = cents.copy()
+        nonempty = counts > 0
+        new[nonempty] = sums[nonempty]
+        n = np.linalg.norm(new, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        cents = new / n
+    return [(i, [float(x) for x in cents[i]]) for i in range(kc)]
+
+
+def quantization_score(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> float:
+    """Mean max-cosine of each corpus vector to its nearest centroid — the
+    spherical-k-means objective (higher = tighter inverted lists)."""
+    cents = np.array([c for _, c in centroids], dtype=np.float64)
+    n = np.linalg.norm(cents, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    cents = cents / n
+
+    from typing import Iterator
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total, cnt = 0.0, 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            nv = np.linalg.norm(mat, axis=1, keepdims=True)
+            nv[nv == 0] = 1.0
+            total += float((mat / nv @ cents.T).max(axis=1).sum())
+            cnt += mat.shape[0]
+        yield pd.DataFrame({"total": [total], "cnt": [cnt]})
+
+    rows = corpus.select(F.col(vec_col).alias("v")).mapInPandas(
+        part, "total double, cnt long"
+    ).collect()
+    total = sum(r["total"] for r in rows)
+    cnt = sum(r["cnt"] for r in rows)
+    return total / cnt if cnt else 0.0
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -188,13 +293,17 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN — the inverted-file scale path beside LSH.
 
-    Coarse quantizer: the ``n_centroids`` corpus vectors with the LOWEST
-    ids (deterministic sampling; a k-means-trained quantizer drops into the
-    same plan — the sampled one keeps the operator fully value-checkable in
-    the DuckDB oracle). Every corpus vector belongs to the inverted list of
+    Coarse quantizer: by default the ``n_centroids`` corpus vectors with
+    the LOWEST ids (deterministic sampling — keeps the operator fully
+    value-checkable in the DuckDB oracle); pass
+    ``centroids=train_ivf_centroids(corpus, ...)`` to drop a spherical-
+    k-means-trained quantizer into the SAME plan (tested: probe-all still
+    equals brute force, and the trained quantizer strictly improves the
+    quantization objective). Every corpus vector belongs to the inverted list of
     its nearest centroid (max rounded cosine, ties → lower centroid id); a
     query probes its ``n_probe`` nearest lists and exact-re-ranks only
     their members — ~``n_probe/n_centroids`` of the brute-force work.
@@ -205,13 +314,14 @@ def ivf_topk(
     codegen'd; the only shuffle is the final probe join on centroid_id
     (n_centroids keys — size lists via n_centroids ≫ executors, AQE splits
     residual skew)."""
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .orderBy("cid")
-        .limit(n_centroids)
-        .collect()
-    )
-    centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
+    if centroids is None:
+        cent_rows = (
+            corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .orderBy("cid")
+            .limit(n_centroids)
+            .collect()
+        )
+        centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
 
     def nearest_structs(vec):
         """array<struct<cos,nid>> per row — sequential folds so the DuckDB

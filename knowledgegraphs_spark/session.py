@@ -13,6 +13,13 @@ import tempfile
 from pyspark.sql import SparkSession
 
 
+def _java_opts(driver_mem: str) -> str:
+    opts = f"-XX:+UseParallelGC -Xms{driver_mem}"
+    if os.environ.get("SPARK_GRAFT_PRETOUCH", "0") == "1":
+        opts += " -XX:+AlwaysPreTouch"
+    return opts
+
+
 def get_spark(
     app_name: str = "knowledgegraphs_spark",
     master: str | None = None,
@@ -20,6 +27,7 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     if shuffle_partitions is None:
         # match parallelism, not the 200 default: tiny data over-parallelized
         # wastes task-launch time, huge data under-parallelized spills.
@@ -35,15 +43,28 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # throughput GC: G1 collapses (observed 17×) on generate-heavy plans
         # (explode of array<struct> — our single-pass triple emission) with a
         # large heap and many task threads; ParallelGC sustains the
         # allocation rate. On a real cluster apply to executors too.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        #
+        # -Xms = -Xmx: spark.driver.memory only sets -Xmx, so the heap
+        # starts at the JVM default and ParallelGC full-GCs its way up
+        # through every expansion. Measured on the 2.5 M-turn pipeline
+        # build (local[32]): default heap 107 s first build / ~9.6 s
+        # steady; -Xms pinned 95 s first / 6.7 s steady (the first build
+        # still page-faults through the heap lazily); -Xms +
+        # AlwaysPreTouch 17.6 s first / 6.5 s steady. PreTouch moves the
+        # fault cost to session startup (~2 min for 48 GB on this box's
+        # ~1 GB/s zeroing path), so it is env-gated: benchmarks turn it on
+        # for clean timed reps, tests keep lazy faulting — they only touch
+        # the pages they use. Same flags a real cluster sets on executors:
+        # allocate the container's memory once, up front.
+        .config("spark.driver.extraJavaOptions", _java_opts(driver_mem))
+        .config("spark.executor.extraJavaOptions", _java_opts(driver_mem))
         # zstd: half the bytes of snappy on long repetitive URI strings at
         # equal wall time (BENCH/BASELINE.md) — at 100 TB the triples table
         # size is the cost driver.

@@ -251,6 +251,42 @@ def test_ivf_probe_all_equals_brute_force_and_partial_recall(spark):
     assert len(part_pairs & bf_pairs) / len(bf_pairs) >= 0.4
 
 
+def test_ivf_trained_quantizer_improves_objective_and_stays_exact(spark):
+    """Spherical-k-means quantizer (train_ivf_centroids): (a) Lloyd rounds
+    strictly improve the quantization objective over the sampled init,
+    (b) bit-deterministic across runs, (c) dropping the trained centroids
+    into ivf_topk keeps probe-all == brute force (the quantizer changes
+    WHICH lists exist, never correctness)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+        quantization_score,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sampled = train_ivf_centroids(emb, n_centroids=8, n_iters=0)
+    trained = train_ivf_centroids(emb, n_centroids=8, n_iters=4)
+    trained2 = train_ivf_centroids(emb, n_centroids=8, n_iters=4)
+    assert trained == trained2                                   # deterministic
+    s0 = quantization_score(emb, sampled)
+    s1 = quantization_score(emb, trained)
+    assert s1 > s0 + 1e-6, (s0, s1)                              # objective up
+
+    q = emb.filter(F.col("vec_id") < 10)
+    bf = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.neighbor_id, r.cosine, r.rank)
+        for r in ivf_topk(emb, q, k=3, n_probe=8, centroids=trained).collect()
+    }
+    assert full == bf
+
+
 def test_xxhash64_twin_on_generated_corpus(spark):
     """Primitive parity on a 100-string deterministic corpus (md5-derived
     lengths/contents — varied sizes cross the 4/8/32-byte XXH64 regimes)."""
