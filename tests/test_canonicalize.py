@@ -81,3 +81,39 @@ def test_canonical_pick_mega_component_no_window(spark):
     assert got == oracle
     # the mega component resolved to one canonical for all 500 members
     assert len({got[m] for m in mega}) == 1
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_canonical_mapping_paths_agree_on_random_graphs(spark, seed):
+    """Randomized (seeded) graph shapes through BOTH physical strategies:
+    driver union-find vs distributed CC + min_by pick must emit the
+    identical mention→canonical map — chains, stars, cliques, isolated
+    nodes, punctuation-bearing surfaces, whitespace ties."""
+    import random
+
+    rng = random.Random(seed)
+    pool = [
+        f"{w}{p}{rng.randint(0, 9)}"
+        for w in ("alpha", "beta gamma", "x_y", "Acme Corp.", "né e")
+        for p in ("", " ", "!", "  ", ", Inc")
+    ]
+    surfaces = sorted(set(rng.sample(pool, k=min(len(pool), 18))))
+    n_edges = rng.randint(0, 14)
+    edges = [
+        (rng.choice(surfaces), rng.choice(surfaces)) for _ in range(n_edges)
+    ]
+    sdf = spark.createDataFrame([(s,) for s in surfaces], "mention string").repartition(4)
+    edf = (
+        spark.createDataFrame(edges, "src string, tgt string")
+        if edges
+        else spark.createDataFrame([], "src string, tgt string")
+    )
+    dist = {
+        r.mention: r.canonical
+        for r in canonical_mapping(sdf, edf, DISTRIBUTED_CFG).collect()
+    }
+    driver = {
+        r.mention: r.canonical
+        for r in canonical_mapping(sdf, edf, DRIVER_CFG).collect()
+    }
+    assert dist == driver
