@@ -173,11 +173,16 @@ def main() -> None:
             )
         if RUN_SWEEP:
             # the complete contract sweep (every queries() entry) — headline
-            # names reuse the measurement above, the rest run here once
+            # names reuse the measurement above, the rest get the same
+            # best-of-2 treatment: a single cold execution records JIT/
+            # codegen warmup as query cost and reads as a regression in the
+            # per-query table when it's really first-touch noise.
             sweep.update(results)
             for name, q in sorted(qs.items()):
                 if name not in sweep:
-                    sweep[name] = _time(lambda q=q: q(spark, SF_DIR).count())
+                    sweep[name] = min(
+                        _time(lambda q=q: q(spark, SF_DIR).count()) for _ in range(2)
+                    )
     finally:
         spark.stop()
 
