@@ -94,18 +94,32 @@ def emit_table_triples_single_pass(
     Compared to a per-predicate ``unionByName`` this reads the input ONCE
     instead of 3×columns+2 times — at 100 TB that is the difference between
     one pass and twenty.
+
+    The URI expressions are pre-projected into columns BEFORE the explode:
+    inside a single Generate expression tree Spark's subexpression
+    elimination does not fire, so a subj ``concat_ws`` referenced by ~15
+    structs would otherwise be re-evaluated ~15× per row (same k-way
+    re-replication trap as the MinHash banding fix, BENCH/BASELINE.md) —
+    hoisting it into the upstream Project computes each URI once per row
+    inside the same whole-stage-codegen body.
     """
-    subj = indiv_uri(spec.class_name, spec.table_id, spec.pks)
+    subj = F.col("__uri_subj")
+    pre_cols: list[Column] = [
+        indiv_uri(spec.class_name, spec.table_id, spec.pks).alias("__uri_subj")
+    ]
     arrays: list[Column] = [
         F.array(_triple_struct(subj, RDF_TYPE, class_uri(spec.class_name), None, False))
     ]
-    for fk in spec.fks:
+    for i, fk in enumerate(spec.fks):
         ref_spec = po.tables[fk.ref_table]
-        tgt = F.concat_ws(
-            "_",
-            F.lit(f"{BASE_PREFIX}{ref_spec.class_name}_{ref_spec.table_id}"),
-            F.col(fk.column).cast("string"),
+        pre_cols.append(
+            F.concat_ws(
+                "_",
+                F.lit(f"{BASE_PREFIX}{ref_spec.class_name}_{ref_spec.table_id}"),
+                F.col(fk.column).cast("string"),
+            ).alias(f"__uri_fk_{i}")
         )
+        tgt = F.col(f"__uri_fk_{i}")
         fwd = naming.pure_obj_property(spec.class_name, ref_spec.class_name)
         inv = naming.inverse_property(fwd)
         arrays.append(
@@ -117,12 +131,15 @@ def emit_table_triples_single_pass(
                 ),
             ).otherwise(F.array().cast("array<struct<subj:string,pred:string,obj:string,obj_dtype:string,is_literal:boolean>>"))
         )
-    for path in (p for p in po.column_paths if p.table == spec.name):
-        attr_indiv = F.concat_ws(
-            "_",
-            F.lit(f"{BASE_PREFIX}{path.attr_class}_{spec.table_id}"),
-            *[F.col(c).cast("string") for c in spec.pks],
+    for i, path in enumerate(p for p in po.column_paths if p.table == spec.name):
+        pre_cols.append(
+            F.concat_ws(
+                "_",
+                F.lit(f"{BASE_PREFIX}{path.attr_class}_{spec.table_id}"),
+                *[F.col(c).cast("string") for c in spec.pks],
+            ).alias(f"__uri_attr_{i}")
         )
+        attr_indiv = F.col(f"__uri_attr_{i}")
         arrays.append(
             F.when(
                 F.col(path.column).isNotNull(),
@@ -136,7 +153,7 @@ def emit_table_triples_single_pass(
             ).otherwise(F.array().cast("array<struct<subj:string,pred:string,obj:string,obj_dtype:string,is_literal:boolean>>"))
         )
     arrays.extend(extra_arrays or [])
-    exploded = df.select(F.explode(F.concat(*arrays)).alias("t"))
+    exploded = df.select("*", *pre_cols).select(F.explode(F.concat(*arrays)).alias("t"))
     return exploded.select("t.subj", "t.pred", "t.obj", "t.obj_dtype", "t.is_literal")
 
 
