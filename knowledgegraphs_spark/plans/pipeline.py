@@ -45,13 +45,23 @@ def mention_triples(mentions_canon: DataFrame, canonical: DataFrame) -> DataFram
     explode); the two per-entity triples come from the tiny canonical dim."""
     from ..operators.triples import _triple_struct
 
-    turn = F.concat_ws("_", F.lit(f"{BASE_PREFIX}Turn_2"), F.col("conv_id"), F.col("turn_idx").cast("string"))
-    m_uri = F.concat_ws(
-        "_", F.lit(f"{BASE_PREFIX}Mention_3"), F.col("conv_id"),
-        F.col("turn_idx").cast("string"), F.col("kind"), F.col("pos").cast("string"),
-    )
+    # URIs hoisted into a pre-projection: inside one Generate expression
+    # tree Spark does no subexpression elimination, so m_uri (3 struct
+    # references) would be concat'd 3× per mention (see the emission
+    # hoisting note in BENCH/BASELINE.md)
+    turn = F.col("__uri_turn")
+    m_uri = F.col("__uri_mention")
     e_uri = F.concat(F.lit(f"{BASE_PREFIX}Entity_"), naming.valid_name_col(F.col("canonical")))
     per_mention = mentions_canon.select(
+        "*",
+        F.concat_ws(
+            "_", F.lit(f"{BASE_PREFIX}Turn_2"), F.col("conv_id"), F.col("turn_idx").cast("string")
+        ).alias("__uri_turn"),
+        F.concat_ws(
+            "_", F.lit(f"{BASE_PREFIX}Mention_3"), F.col("conv_id"),
+            F.col("turn_idx").cast("string"), F.col("kind"), F.col("pos").cast("string"),
+        ).alias("__uri_mention"),
+    ).select(
         F.explode(
             F.array(
                 _triple_struct(turn, "has_mention", m_uri, None, False),

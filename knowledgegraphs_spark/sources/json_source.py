@@ -199,9 +199,26 @@ def _child_frontier(
     )
 
 
-def _recurse(labeled: Column, struct_type: T.StructType, cls: str) -> Column:
-    """All triples of this frontier and every nested class below it."""
-    parts = [_node_triples(labeled, struct_type, cls)]
+def _collect_frontiers(
+    frontier_col: str,
+    struct_type: T.StructType,
+    cls: str,
+    frontiers: list[tuple[str, "Column | None"]],
+    parts: list[Column],
+) -> None:
+    """Walk the schema, materializing every frontier as a NAMED COLUMN and
+    collecting the triple parts that reference it.
+
+    Frontier expressions are deliberately NOT inlined into their consumers:
+    a frontier is referenced once per scalar field, once for the type
+    triples, once per child edge set, and once per child frontier — and
+    inside a single Generate expression tree Spark performs no
+    subexpression elimination, so inlining re-evaluates the parent chain
+    multiplicatively with nesting depth (the k-way replication trap, see
+    BENCH/BASELINE.md). As columns, each frontier is computed once per row
+    and every consumer reads the materialized array."""
+    labeled = F.col(frontier_col)
+    parts.append(_node_triples(labeled, struct_type, cls))
     for f in struct_type.fields:
         k, dt = f.name, f.dataType
         child_struct: T.StructType | None = None
@@ -212,15 +229,15 @@ def _recurse(labeled: Column, struct_type: T.StructType, cls: str) -> Column:
             child_struct, is_arr = dt.elementType, True
         if child_struct is None:
             continue
-        child = _child_frontier(labeled, k, is_arr, dt)
+        child_col = f"__frontier_{len(frontiers)}"
+        frontiers.append((child_col, _child_frontier(labeled, k, is_arr, dt)))
 
         def _edge_fn(k: str):
             return lambda e: _edge_triple(e["plabel"], f"has_{k}", e["label"])
 
         # parent -[has_k]-> child edges
-        parts.append(F.transform(child, _edge_fn(k)))
-        parts.append(_recurse(child, child_struct, k))
-    return F.concat(*parts) if len(parts) > 1 else parts[0]
+        parts.append(F.transform(F.col(child_col), _edge_fn(k)))
+        _collect_frontiers(child_col, child_struct, k, frontiers, parts)
 
 
 def emit_json_triples(
@@ -250,8 +267,18 @@ def emit_json_triples(
             )
         ),
     ).otherwise(F.expr("array()").cast(f"array<struct<plabel:string,label:string,node:{node_type.simpleString()}>>"))
-    all_triples = _recurse(frontier, node_type, root)
+    frontiers: list[tuple[str, Column]] = [("__frontier_root", frontier)]
+    parts: list[Column] = []
+    _collect_frontiers("__frontier_root", node_type, root, frontiers, parts)
+    staged = parsed
+    for name, expr in frontiers:
+        # one chained select per frontier level: each references the parent
+        # frontier column, so Catalyst keeps them as per-row computed-once
+        # attributes instead of inlining the whole parent chain into every
+        # consumer (CollapseProject declines to duplicate non-cheap exprs)
+        staged = staged.select("*", expr.alias(name))
+    all_triples = F.concat(*parts) if len(parts) > 1 else parts[0]
     return (
-        parsed.select(F.explode(all_triples).alias("t"))
+        staged.select(F.explode(all_triples).alias("t"))
         .select("t.subj", "t.pred", "t.obj", "t.obj_dtype", "t.is_literal")
     )
