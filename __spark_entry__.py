@@ -31,7 +31,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _turns_from_events(
+    spark: SparkSession, sf_dir: str, sidx_parity: int | None = None
+) -> DataFrame:
     from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES, ingest
 
     ev = _t(spark, sf_dir, "events")
@@ -57,9 +59,14 @@ def _turns_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.alias("text"),
             F.when(role == "tool", F.col("event_type")).otherwise(F.lit(None).cast("string")).alias("tool"),
             "ts",
+            idx.alias("__sidx"),
         )
     )
-    return ingest(turns)
+    # incremental-scenario split (w7): turn numbering stays GLOBAL (computed
+    # before the filter) so both batches address the same turn URIs
+    if sidx_parity is not None:
+        turns = turns.filter(F.col("__sidx") % 2 == sidx_parity)
+    return ingest(turns.drop("__sidx"))
 
 
 def _surfaces_sql_list() -> str:
@@ -242,6 +249,160 @@ UNION ALL
 SELECT DISTINCT 'kg:Entity_' || ename, 'rdf:type', 'kg:Entity', NULL, false FROM mrows
 UNION ALL
 SELECT DISTINCT 'kg:Entity_' || ename, 'has_label_VALUE', canonical, 'xsd:string', true FROM mrows
+""".strip()
+
+
+def q_incremental_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: incremental KG maintenance. Batch 1 (even surface indices) runs
+    the full pipeline; batch 2 (odd indices) is merged by
+    ``plans/incremental.py`` against batch 1's catalog — known surfaces
+    reuse entities, novel near-dups attach, new families mint new entities.
+    Returned: batch-1 triples ∪ batch-2 delta. Validated against an
+    independent incremental twin built at oracle time (same pattern as
+    ``_kg_full_sql``): the comparison covers the batch split, the novel
+    anti-join, the distributed attach/mint plumbing, stable URIs across
+    batches, and the new-entity-only declaration dedup."""
+    from knowledgegraphs_spark.plans.incremental import incremental_update
+    from knowledgegraphs_spark.plans.pipeline import build_kg
+
+    turns1 = _turns_from_events(spark, sf_dir, sidx_parity=0)
+    turns2 = _turns_from_events(spark, sf_dir, sidx_parity=1)
+    trip1, canon1 = build_kg(spark, turns1)
+    delta = incremental_update(spark, turns2, canon1).triples
+    return trip1.unionByName(delta).select(
+        "subj", "pred", "obj", "obj_dtype", "is_literal"
+    )
+
+
+def _kg_incr_sql() -> str:
+    """DuckDB oracle for W7, generated by a pure-Python incremental twin:
+    batch-1 union-find canonicals, batch-2 novel detection, novel-novel
+    components, cross-attach with the canonical-pick ordering, new-entity
+    minting — inlined as a VALUES lookup keyed by surface index."""
+    from knowledgegraphs_spark.config import MatchConfig
+    from knowledgegraphs_spark.functions.naming import valid_name
+    from knowledgegraphs_spark.functions.similarity import is_near_duplicate
+    from knowledgegraphs_spark.operators.canonicalize import (
+        canonical_pick,
+        pick_order_key,
+    )
+    from knowledgegraphs_spark.operators.matching import (
+        _cross_edges_python,
+        _near_dup_edges_python,
+    )
+    from knowledgegraphs_spark.operators.mentions import extract_mentions_python
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES
+
+    cfg = MatchConfig()
+    per_idx: list[list[tuple[str, str, int]]] = []
+    s1: set[str] = set()
+    s2: set[str] = set()
+    for i, s in enumerate(ENTITY_SURFACES):
+        ms = extract_mentions_python(f"Discussed {s} during error event ref x")
+        per_idx.append(ms)
+        (s1 if i % 2 == 0 else s2).update(m for m, _, _ in ms)
+
+    # batch 1: the full-batch twin, restricted to even-index surfaces
+    # (pairwise near-dup + union-find + canonical pick — NOT the engine)
+    def _uf_groups(members: list[str], edges: list[tuple[str, str]]) -> list[list[str]]:
+        parent = {x: x for x in members}
+
+        def find(x: str) -> str:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups: dict[str, list[str]] = {}
+        for x in members:
+            groups.setdefault(find(x), []).append(x)
+        return list(groups.values())
+
+    ordered1 = sorted(s1)
+    pair_edges = [
+        (a, b)
+        for i, a in enumerate(ordered1)
+        for b in ordered1[i + 1 :]
+        if is_near_duplicate(a, b, strict=False)
+    ]
+    canon1 = {
+        m: canonical_pick(grp)
+        for grp in _uf_groups(ordered1, pair_edges)
+        for m in grp
+    }
+
+    # batch 2: incremental twin
+    novel = sorted(s2 - s1)
+    nn_edges = _near_dup_edges_python(novel, cfg)
+    cross = _cross_edges_python(novel, ordered1, cfg)
+    by_src: dict[str, list[str]] = {}
+    for a, b in cross:
+        by_src.setdefault(a, []).append(b)
+    final2: dict[str, str] = {m: canon1[m] for m in s2 & s1}
+    new_entities: set[str] = set()
+    for grp in _uf_groups(novel, nn_edges):
+        cands = {canon1[t] for m in grp for t in by_src.get(m, [])}
+        if cands:
+            canon = min(cands, key=pick_order_key)
+        else:
+            canon = canonical_pick(grp)
+            if canon not in set(canon1.values()):
+                new_entities.add(canon)
+        for m in grp:
+            final2[m] = canon
+
+    def esc(v: str) -> str:
+        return v.replace("'", "''")
+
+    lut_rows = ",\n    ".join(
+        f"({i}, '{esc(m)}', '{kind}', {pos}, "
+        f"'{esc((canon1 if i % 2 == 0 else final2)[m])}', "
+        f"'{esc(valid_name((canon1 if i % 2 == 0 else final2)[m]))}')"
+        for i, ms in enumerate(per_idx)
+        for (m, kind, pos) in ms
+    )
+    # entity decls: batch 1 declares all its entities; batch 2 only new mints
+    ent_rows = ",\n    ".join(
+        f"('{esc(c)}', '{esc(valid_name(c))}')"
+        for c in sorted(set(canon1.values()) | new_entities)
+    ) or "('', '')"
+    return f"""
+WITH raw AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         cast((event_id * 2654435761) % {len(ENTITY_SURFACES)} AS int) AS sidx
+  FROM events
+), lut(sidx, mention, kind, pos, canonical, ename) AS (
+  VALUES
+    {lut_rows}
+), ents(canonical, ename) AS (
+  VALUES
+    {ent_rows}
+), mrows AS (
+  SELECT r.conv_id, r.turn_idx, l.mention, l.kind, l.pos, l.canonical, l.ename
+  FROM raw r JOIN lut l USING (sidx)
+), structural AS (
+{_KG_TRIPLES_SQL}
+)
+SELECT * FROM structural
+UNION ALL
+SELECT 'kg:Turn_2_' || conv_id || '_' || turn_idx AS subj, 'has_mention' AS pred,
+       'kg:Mention_3_' || conv_id || '_' || turn_idx || '_' || kind || '_' || pos AS obj,
+       cast(NULL AS varchar) AS obj_dtype, false AS is_literal FROM mrows
+UNION ALL
+SELECT 'kg:Mention_3_' || conv_id || '_' || turn_idx || '_' || kind || '_' || pos, 'rdf:type', 'kg:Mention', NULL, false FROM mrows
+UNION ALL
+SELECT 'kg:Mention_3_' || conv_id || '_' || turn_idx || '_' || kind || '_' || pos, 'has_surface_VALUE', mention, 'xsd:string', true FROM mrows
+UNION ALL
+SELECT 'kg:Mention_3_' || conv_id || '_' || turn_idx || '_' || kind || '_' || pos, 'p_Mention_Entity', 'kg:Entity_' || ename, NULL, false FROM mrows
+UNION ALL
+SELECT 'kg:Entity_' || ename, 'rdf:type', 'kg:Entity', NULL, false FROM ents WHERE ename <> ''
+UNION ALL
+SELECT 'kg:Entity_' || ename, 'has_label_VALUE', canonical, 'xsd:string', true FROM ents WHERE ename <> ''
 """.strip()
 
 
@@ -1980,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
+        "w7_incremental_kg": q_incremental_kg,
         "t1_text_profile": q_text_profile,
         "t2_token_stats": q_token_stats,
         "d5_dedup_embedding": q_dedup_embedding,
@@ -2047,6 +2209,7 @@ def oracle_sql() -> dict[str, str]:
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,
+        "w7_incremental_kg": _kg_incr_sql(),
         "t1_text_profile": _TEXT_PROFILE_SQL,
         "t2_token_stats": _T2_SQL,
         "d5_dedup_embedding": _D5_SQL,

@@ -19,7 +19,7 @@ added as the final tie-break for full determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..config import EngineConfig
@@ -122,6 +122,27 @@ def connected_components(
     stars = e.select(F.greatest("a", "b").alias("node"), F.least("a", "b").alias("component"))
     roots = stars.select(F.col("component").alias("node"), F.col("component")).distinct()
     return stars.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+
+
+def pick_order_key(value: str) -> tuple[int, int, str]:
+    """The canonical-pick ordering key of a (noPunct-form) string: shortest
+    token-concat, then most whitespace, then lexicographic. Shared by the
+    incremental-attach tie-break and its oracle twin so both sides order
+    candidate canonicals identically."""
+    from ..functions.similarity import nd_process
+
+    no_punct, _toks, concat = nd_process(value)
+    return (len(concat), -(len(no_punct) - len(concat)), value)
+
+
+def pick_order_cols(col: Column) -> Column:
+    """JVM twin of :func:`pick_order_key`: a struct usable in ``min_by``."""
+    import string as _string
+
+    no_punct = F.translate(col, _string.punctuation, " " * len(_string.punctuation))
+    c_len = F.length(F.regexp_replace(F.lower(no_punct), r"[^\p{L}\p{N}_]+", ""))
+    n_white = F.length(no_punct) - c_len
+    return F.struct(c_len.alias("c_len"), (-n_white).alias("nw"), col.alias("v"))
 
 
 def canonical_pick(group: list[str]) -> str:

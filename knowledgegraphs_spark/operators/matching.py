@@ -376,6 +376,77 @@ def _near_dup_edges_python(
     return sorted(edges)
 
 
+def _cross_edges_python(
+    novel: list[str], prior: list[str], cfg: MatchConfig, max_token_df: int = 1000
+) -> list[tuple[str, str]]:
+    """Exact in-memory twin of ``blocking_join(novel, prior)`` →
+    ``near_duplicate_edges``: inverted token index over the PRIOR side, IDF
+    ``log((n_tgt+1)/df)`` with ``df ≤ max_token_df``, per-src top
+    ``num_raw_candidates`` by (-idf_sum, tgt), near-dup filter."""
+    import math
+    import re as _re
+
+    from ..functions.similarity import is_near_duplicate
+
+    def toks(s: str) -> set[str]:
+        return {t for t in _re.split(r"[^0-9a-z]+", s.lower()) if len(t) > 1}
+
+    index: dict[str, list[str]] = {}
+    for p in prior:
+        for t in toks(p):
+            index.setdefault(t, []).append(p)
+    n_tgt = len(prior)
+    idf = {
+        t: math.log(max(n_tgt + 1, 2) / len(ms))
+        for t, ms in index.items()
+        if len(ms) <= max_token_df
+    }
+    edges: list[tuple[str, str]] = []
+    for a in novel:
+        sums: dict[str, float] = {}
+        for t in toks(a):
+            if t in idf:
+                for b in index[t]:
+                    if b != a:
+                        sums[b] = sums.get(b, 0.0) + idf[t]
+        cands = sorted(sums.items(), key=lambda kv: (-kv[1], kv[0]))
+        for b, _w in cands[: cfg.num_raw_candidates]:
+            if is_near_duplicate(a, b, strict=False):
+                edges.append((a, b))
+    return sorted(edges)
+
+
+def cross_match_edges(
+    novel: DataFrame,
+    prior: DataFrame,
+    cfg: MatchConfig | None = None,
+    n_novel: int | None = None,
+    n_prior: int | None = None,
+    vocab_driver_threshold: int = 100_000,
+    max_token_df: int = 1000,
+) -> DataFrame:
+    """Directed near-dup edges novel → prior (incremental-attach input).
+
+    Same two physical strategies as :func:`compute_match_edges`, same
+    result: both vocabularies ≤ threshold → in-memory twin; larger → the
+    directed ``blocking_join`` whose inverted index is built over the PRIOR
+    vocabulary — the 100-TB shape, since the entity-catalog index is the
+    big reusable side and the per-increment novel vocabulary is small."""
+    cfg = cfg or MatchConfig()
+    spark = novel.sparkSession
+    if n_novel is None:
+        n_novel = novel.count()
+    if n_prior is None:
+        n_prior = prior.count()
+    if max(n_novel, n_prior) <= vocab_driver_threshold:
+        nv = [r["mention"] for r in novel.select("mention").collect()]
+        pr = [r["mention"] for r in prior.select("mention").collect()]
+        edges = _cross_edges_python(nv, pr, cfg, max_token_df)
+        schema = "src string, tgt string"
+        return spark.createDataFrame(edges, schema) if edges else spark.createDataFrame([], schema)
+    return near_duplicate_edges(blocking_join(novel, prior, cfg, max_token_df))
+
+
 def compute_match_edges(
     surfaces: DataFrame,
     cfg: MatchConfig | None = None,

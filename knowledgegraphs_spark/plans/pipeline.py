@@ -106,6 +106,14 @@ def build_kg_triples(
     """Pure (no-IO) composition of the full pipeline: structural + mention +
     entity triples. Used by ``__spark_entry__.entry`` and ad-hoc callers; the
     manifest/resume path is :func:`run_pipeline`."""
+    return build_kg(spark, turns_raw, cfg)[0]
+
+
+def build_kg(
+    spark: SparkSession, turns_raw: DataFrame, cfg: EngineConfig | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`build_kg_triples` plus the (mention, canonical) map — the state
+    an incremental caller (``plans/incremental.py``) carries between batches."""
     cfg = cfg or EngineConfig()
     # no repartition here: every op below is per-row, so a conv_id shuffle
     # before the 15× explode only lets AQE coalesce away parallelism
@@ -134,9 +142,10 @@ def build_kg_triples(
         salt_from=["conv_id", "turn_idx", "pos"],
         dim_count=n_surfaces,  # one canonical row per distinct surface
     )
-    return emit_transcript_triples(turns, po).unionByName(
+    triples = emit_transcript_triples(turns, po).unionByName(
         mention_triples(m_canon, canonical)
     )
+    return triples, canonical
 
 
 def run_pipeline(
