@@ -6,8 +6,11 @@ tables grow continuously, so the engine exposes the stateless slice of the
 pipeline (ingest → structural triple emission) as a Structured Streaming
 job: new transcript files/partitions become triples exactly-once via the
 streaming checkpoint. The stateful stages (matching, CC canonicalization)
-stay batch over the accumulated table — re-run from the checkpoint manifest
-(S17), which is the reference's own incremental model.
+run per micro-batch through the incremental plan (``maintenance.py``
+drives ``plans/incremental`` from ``foreachBatch`` against a persisted
+catalog), or batch over the accumulated table via the checkpoint manifest
+(S17) — the reference's own incremental model.
 """
 
 from .incremental import stream_transcript_triples  # noqa: F401
+from .maintenance import stream_kg_maintenance  # noqa: F401

@@ -1,0 +1,138 @@
+"""Continuous KG maintenance (streaming/maintenance.py): the foreachBatch
+stream over plans/incremental must equal the same batches run sequentially
+through incremental_update, survive a checkpointed restart exactly-once,
+keep entity URIs stable across batches, and rewrite byte-identical data on
+a batch replay (idempotency via the before_batch catalog reconstruction).
+
+Surface families reuse the test_incremental.py corpus: ("Acme Corp",
+"Acme Corporation") is a near-dup pair, "Widget Works"/"Gizmo Industries"
+are singletons — asserted in tests/test_similarity.py's golden suite."""
+
+import datetime
+import os
+
+import pytest
+
+from knowledgegraphs_spark.plans.incremental import incremental_update
+from knowledgegraphs_spark.plans.pipeline import build_kg
+from knowledgegraphs_spark.streaming.maintenance import (
+    maintenance_batch_fn,
+    read_catalog,
+    read_maintained_triples,
+    stream_kg_maintenance,
+)
+
+TS = datetime.datetime(2026, 1, 5, 12, 0, 0)
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+
+B1 = [
+    ("c1", 0, "we met Acme Corp about the plan"),
+    ("c1", 1, "then Acme Corporation sent a follow-up"),
+    ("c2", 0, "talked to Widget Works yesterday"),
+]
+B2 = [
+    ("c3", 0, "call with Acme Corp again"),
+    ("c3", 1, "and Gizmo Industries joined late"),
+    ("c1", 2, "closing note on Widget Works"),  # conversation split across batches
+]
+
+
+def _turns(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, "user", t, None, TS) for (c, i, t) in rows], SCHEMA
+    )
+
+
+def _trips(df):
+    return {(r.subj, r.pred, r.obj) for r in df.select("subj", "pred", "obj").collect()}
+
+
+def _catalog(df):
+    return {(r.mention, r.canonical) for r in df.select("mention", "canonical").collect()}
+
+
+def _run_stream(spark, inp, store, ckpt):
+    q = stream_kg_maintenance(spark, inp, store, ckpt)
+    q.awaitTermination(180)
+
+
+def test_stream_equals_sequential_incremental_and_uris_stable(spark, tmp_path):
+    inp = str(tmp_path / "turns")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    # ---- streamed: two availableNow drains = batch_id 0 then 1
+    _turns(spark, B1).coalesce(1).write.parquet(os.path.join(inp, "batch=1"))
+    _run_stream(spark, inp, store, ckpt)
+    trips_after_b1 = _trips(read_maintained_triples(spark, store))
+    cat_after_b1 = _catalog(read_catalog(spark, store))
+
+    _turns(spark, B2).coalesce(1).write.parquet(os.path.join(inp, "batch=2"))
+    _run_stream(spark, inp, store, ckpt)
+    got_trips = _trips(read_maintained_triples(spark, store))
+    got_cat = _catalog(read_catalog(spark, store))
+
+    # ---- spec: the same two batches through incremental_update sequentially
+    empty_cat = spark.createDataFrame([], "mention string, canonical string")
+    r1 = incremental_update(spark, _turns(spark, B1), empty_cat)
+    exp1 = _trips(r1.triples)
+    r2 = incremental_update(spark, _turns(spark, B2), r1.canonical.localCheckpoint())
+    assert trips_after_b1 == exp1
+    assert got_trips == exp1 | _trips(r2.triples)
+    assert got_cat == _catalog(r2.canonical)
+
+    # URI stability: every batch-1 triple survives batch 2 untouched, and the
+    # batch-2 "Acme Corp" mention resolves to the entity batch 1 minted
+    assert trips_after_b1 <= got_trips
+    assert cat_after_b1 <= got_cat
+    b1_acme = {c for (m, c) in cat_after_b1 if m == "Acme Corp"}
+    assert {c for (m, c) in got_cat if m == "Acme Corp"} == b1_acme
+
+    # exactly-once: conversation c1 appeared in both file batches but is
+    # declared exactly once
+    decls = [
+        t for t in got_trips if t[1] == "rdf:type" and t[2] == "kg:Conversation"
+    ]
+    assert len(decls) == len({t[0] for t in decls}) == 3  # c1, c2, c3
+
+    # restart with nothing new: no-op (checkpoint replays nothing)
+    _run_stream(spark, inp, store, ckpt)
+    assert _trips(read_maintained_triples(spark, store)) == got_trips
+
+
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Simulate a foreachBatch replay: after batches 0 and 1 are in the
+    store, re-running batch 1's closure must reconstruct the pre-batch
+    catalog (batch_id < 1) and rewrite identical data."""
+    store = str(tmp_path / "store")
+    fn = maintenance_batch_fn(store)
+    fn(_turns(spark, B1), 0)
+    fn(_turns(spark, B2), 1)
+    trips = _trips(read_maintained_triples(spark, store))
+    cat = _catalog(read_catalog(spark, store))
+
+    fn(_turns(spark, B2), 1)  # replay
+    assert _trips(read_maintained_triples(spark, store)) == trips
+    assert _catalog(read_catalog(spark, store)) == cat
+
+
+def test_bootstrap_from_batch_catalog(spark, tmp_path):
+    """catalog_base seeds the stream with a batch-built catalog: surfaces
+    known to the prior batch run attach to its entity URIs, minting none."""
+    store = str(tmp_path / "store")
+    _, canon = build_kg(spark, _turns(spark, B1))
+    canon.write.parquet(f"{store}/catalog_base")
+    base = _catalog(read_catalog(spark, store))
+
+    fn = maintenance_batch_fn(store)
+    fn(_turns(spark, [("c9", 0, "pinged Acme Corporation for status")]), 0)
+    got = _catalog(read_catalog(spark, store))
+    assert got == base  # surface already known -> no delta rows at all
+    # and no new-entity declarations in the delta triples
+    decls = [
+        t
+        for t in _trips(read_maintained_triples(spark, store))
+        if t[1] == "rdf:type" and t[2] == "kg:Entity"
+    ]
+    assert decls == []
