@@ -13,4 +13,4 @@ catalog), or batch over the accumulated table via the checkpoint manifest
 """
 
 from .incremental import stream_transcript_triples  # noqa: F401
-from .maintenance import stream_kg_maintenance  # noqa: F401
+from .maintenance import compact_store, stream_kg_maintenance  # noqa: F401

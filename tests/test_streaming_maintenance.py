@@ -16,6 +16,7 @@ import pytest
 from knowledgegraphs_spark.plans.incremental import incremental_update
 from knowledgegraphs_spark.plans.pipeline import build_kg
 from knowledgegraphs_spark.streaming.maintenance import (
+    compact_store,
     maintenance_batch_fn,
     read_catalog,
     read_maintained_triples,
@@ -115,6 +116,70 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     fn(_turns(spark, B2), 1)  # replay
     assert _trips(read_maintained_triples(spark, store)) == trips
     assert _catalog(read_catalog(spark, store)) == cat
+
+
+def test_compaction_preserves_reads_and_uri_stability(spark, tmp_path):
+    """Folding committed deltas into the base dirs must not change what
+    read_catalog / read_maintained_triples return, must physically remove
+    the folded batch dirs, and batches processed AFTER compaction must
+    still attach to the pre-compaction entity URIs."""
+    store = str(tmp_path / "store")
+    fn = maintenance_batch_fn(store)
+    fn(_turns(spark, B1), 0)
+    fn(_turns(spark, B2), 1)
+    fn(_turns(spark, [("c5", 0, "Widget Works sent a revised quote")]), 2)
+    trips = _trips(read_maintained_triples(spark, store))
+    cat = _catalog(read_catalog(spark, store))
+
+    stats = compact_store(spark, store, through_batch=1)
+    assert stats["folded_batches"] == [0, 1]
+    assert _trips(read_maintained_triples(spark, store)) == trips
+    assert _catalog(read_catalog(spark, store)) == cat
+    # folded dirs gone, the uncommittable-looking tail (batch 2) untouched
+    assert not os.path.exists(f"{store}/catalog_delta/batch_id=0")
+    assert not os.path.exists(f"{store}/triples/batch_id=1")
+    assert os.path.exists(f"{store}/triples/batch_id=2")
+
+    # a second, full compaction folds the tail; reads still identical
+    stats = compact_store(spark, store)
+    assert stats["folded_batches"] == [2]
+    assert _trips(read_maintained_triples(spark, store)) == trips
+    assert _catalog(read_catalog(spark, store)) == cat
+    assert compact_store(spark, store)["folded_batches"] == []  # no-op now
+
+    # post-compaction batch: known surface resolves to the SAME entity URI
+    fn(_turns(spark, [("c6", 0, "Acme Corp confirmed the order")]), 3)
+    got_cat = _catalog(read_catalog(spark, store))
+    assert {c for (m, c) in got_cat if m == "Acme Corp"} == {
+        c for (m, c) in cat if m == "Acme Corp"
+    }
+    assert _trips(read_maintained_triples(spark, store)) > trips
+
+
+def test_stream_restart_after_compaction_matches_uncompacted_twin(spark, tmp_path):
+    """Drain → compact (stream stopped) → new files → drain on the SAME
+    checkpoint must equal the never-compacted twin store byte-for-byte at
+    the read surface."""
+    b3 = [("c7", 0, "Gizmo Industries and Acme Corporation synced")]
+    stores = {}
+    for name, do_compact in (("a", True), ("b", False)):
+        inp = str(tmp_path / f"turns_{name}")
+        store = str(tmp_path / f"store_{name}")
+        ckpt = str(tmp_path / f"ckpt_{name}")
+        os.makedirs(inp)
+        _turns(spark, B1).coalesce(1).write.parquet(os.path.join(inp, "batch=1"))
+        _run_stream(spark, inp, store, ckpt)
+        _turns(spark, B2).coalesce(1).write.parquet(os.path.join(inp, "batch=2"))
+        _run_stream(spark, inp, store, ckpt)
+        if do_compact:
+            compact_store(spark, store)
+        _turns(spark, b3).coalesce(1).write.parquet(os.path.join(inp, "batch=3"))
+        _run_stream(spark, inp, store, ckpt)
+        stores[name] = (
+            _trips(read_maintained_triples(spark, store)),
+            _catalog(read_catalog(spark, store)),
+        )
+    assert stores["a"] == stores["b"]
 
 
 def test_bootstrap_from_batch_catalog(spark, tmp_path):
