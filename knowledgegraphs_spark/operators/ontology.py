@@ -108,8 +108,8 @@ def ancestor_closure_df(edges: DataFrame, max_iters: int = 50) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    n_before = closure.count()
     for _ in range(max_iters):
-        n_before = closure.count()
         hop = (
             closure.alias("a")
             .join(closure.alias("b"), F.col("a.anc") == F.col("b.node"))
@@ -125,8 +125,10 @@ def ancestor_closure_df(edges: DataFrame, max_iters: int = 50) -> DataFrame:
             .agg(F.min("depth").alias("depth"))
             .localCheckpoint(eager=True)
         )
-        if closure.count() == n_before:
+        n_after = closure.count()
+        if n_after == n_before:
             break
+        n_before = n_after
     return closure
 
 
