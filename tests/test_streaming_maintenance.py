@@ -118,6 +118,34 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert _catalog(read_catalog(spark, store)) == cat
 
 
+def test_replay_heals_partial_batch_write(spark, tmp_path):
+    """Crash-window coverage: the batch closure writes triples/batch_id=N
+    FIRST, catalog_delta/batch_id=N second. A crash between the two leaves
+    a half-written batch whose checkpoint never committed — on restart the
+    batch replays, and the dir-keyed overwrite must heal the store to
+    exactly what a never-crashed run produces (both halves of the window)."""
+    import shutil as sh
+
+    clean = str(tmp_path / "clean")
+    fn_clean = maintenance_batch_fn(clean)
+    fn_clean(_turns(spark, B1), 0)
+    fn_clean(_turns(spark, B2), 1)
+    want_trips = _trips(read_maintained_triples(spark, clean))
+    want_cat = _catalog(read_catalog(spark, clean))
+
+    for half in ("triples", "catalog_delta"):
+        store = str(tmp_path / f"crash_{half}")
+        fn = maintenance_batch_fn(store)
+        fn(_turns(spark, B1), 0)
+        fn(_turns(spark, B2), 1)
+        # simulate the crash: batch 1 lost the OTHER half of its write
+        lost = "catalog_delta" if half == "triples" else "triples"
+        sh.rmtree(f"{store}/{lost}/batch_id=1")
+        fn(_turns(spark, B2), 1)  # checkpoint never committed -> replay
+        assert _trips(read_maintained_triples(spark, store)) == want_trips
+        assert _catalog(read_catalog(spark, store)) == want_cat
+
+
 def test_compaction_preserves_reads_and_uri_stability(spark, tmp_path):
     """Folding committed deltas into the base dirs must not change what
     read_catalog / read_maintained_triples return, must physically remove
