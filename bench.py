@@ -54,7 +54,7 @@ RUN_SWEEP = os.environ.get("SPARK_GRAFT_SWEEP", "1") != "0"
 # capacity — local[32] on a 32-core shared box measures straggler noise.
 SCALE_LOW = int(os.environ.get("SPARK_GRAFT_SCALE_LOW", "2"))
 SCALE_HIGH = 4 * SCALE_LOW
-SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "3"))
+SCALE_ATTEMPTS = int(os.environ.get("SPARK_GRAFT_SCALE_ATTEMPTS", "4"))
 LOAD_GATE = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "8"))
 GATE_WAIT_S = int(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "360"))
 
