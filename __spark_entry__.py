@@ -123,6 +123,38 @@ def q_kg_triples_structural(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8 (engine extension): SPARQL basic-graph-pattern matching kept ON
+    the triple table — the reference answers graph queries by uploading to
+    GraphDB and running SPARQL there (``GraphDBService.java``, SURVEY §3.1
+    step 8); Spark-first the BGP is a chain of filtered scans + hash joins
+    over ``triples(subj, pred, obj)``. Pattern: every user turn with its
+    conversation and role-attribute node."""
+    from knowledgegraphs_spark.operators.bgp import match_bgp
+
+    triples = q_kg_triples_structural(spark, sf_dir)
+    return match_bgp(
+        triples,
+        [
+            ("?turn", "rdf:type", "kg:Turn"),
+            ("?turn", "p_Turn_Conversation", "?conv"),
+            ("?turn", "has_role", "?attr"),
+            ("?attr", "has_role_VALUE", "user"),
+        ],
+    )
+
+
+# oracle twin: the closed form of the pattern straight off the normalized
+# turns table — an independent derivation, not the join machinery
+_BGP_SQL = f"""
+{_TURNS_NORM_SQL}
+SELECT 'kg:role_ATTR_2_' || conv_id || '_' || turn_idx AS attr,
+       'kg:Conversation_1_' || conv_id AS conv,
+       'kg:Turn_2_' || conv_id || '_' || turn_idx AS turn
+FROM turns WHERE role = 'user'
+""".strip()
+
+
 def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (mentions → blocked matching → iterative CC →
     triples), value-checked against :func:`_kg_full_sql` — the iterative
@@ -2138,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_annotation_pair_scores": q_annotation_pair_scores,
         "x13_label_composition": q_label_composition,
         "g6_mapping_extension": q_mapping_extension,
+        "g8_bgp_match": q_bgp_match,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2206,6 +2239,7 @@ def oracle_sql() -> dict[str, str]:
         "j5_annotation_pair_scores": _J5_SQL,
         "x13_label_composition": _x13_sql(),
         "g6_mapping_extension": _G6_SQL,
+        "g8_bgp_match": _BGP_SQL,
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,
