@@ -155,6 +155,52 @@ FROM turns WHERE role = 'user'
 """.strip()
 
 
+def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 (engine extension): entity co-mention statistics over the FULL
+    build — per canonical entity, how many conversations mention it and
+    how many co-mentioning conversation pairs that implies. The 3-pattern
+    BGP binds (turn, mention, entity, conversation); the aggregate form is
+    deliberate: ENUMERATING the pairs is a self-join quadratic in
+    conversations-per-entity (~10⁹ bindings already at sf0.1 — measured,
+    then redesigned), while count-distinct + n·(n−1)/2 answers the same
+    analytical question linearly. The pair-enumeration BGP stays covered
+    at fixture scale in ``tests/test_bgp.py``. End-to-end this
+    value-checks mentions → blocked matching → distributed CC → emission
+    → BGP joins → aggregation in one contract row; the oracle derives the
+    counts relationally from the twin-computed canonical map (no BGP
+    machinery on the oracle side)."""
+    from knowledgegraphs_spark.operators.bgp import match_bgp
+
+    triples = q_kg_triples_full(spark, sf_dir)
+    res = match_bgp(
+        triples,
+        [
+            ("?t", "has_mention", "?m"),
+            ("?m", "p_Mention_Entity", "?e"),
+            ("?t", "p_Turn_Conversation", "?c"),
+        ],
+    )
+    n = F.countDistinct("c")
+    return (
+        res.groupBy("e")
+        .agg(
+            n.cast("long").alias("n_convs"),
+            (n * (n - 1) / 2).cast("long").alias("n_pairs"),
+        )
+    )
+
+
+def _comention_sql() -> str:
+    return f"""
+{_kg_full_ctes().strip()}, ce AS (
+  SELECT DISTINCT 'kg:Entity_' || ename AS e, conv_id FROM mrows
+)
+SELECT e, cast(count(*) AS bigint) AS n_convs,
+       cast(count(*) * (count(*) - 1) / 2 AS bigint) AS n_pairs
+FROM ce GROUP BY e
+""".strip()
+
+
 def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (mentions → blocked matching → iterative CC →
     triples), value-checked against :func:`_kg_full_sql` — the iterative
@@ -197,7 +243,7 @@ SELECT 'kg:' || col || '_ATTR_2_' || conv_id || '_' || turn_idx, 'has_' || col |
 """.strip()
 
 
-def _kg_full_sql() -> str:
+def _kg_full_ctes() -> str:
     """DuckDB oracle for the FULL pipeline. The mention set of each turn is
     a pure function of its surface index (the template tail never matches a
     pattern — verified by construction), so mentions come from a generated
@@ -263,7 +309,12 @@ WITH raw AS (
 ), mrows AS (
   SELECT r.conv_id, r.turn_idx, l.mention, l.kind, l.pos, l.canonical, l.ename
   FROM raw r JOIN lut l USING (sidx)
-), structural AS (
+)"""
+
+
+def _kg_full_sql() -> str:
+    return f"""
+{_kg_full_ctes().strip()}, structural AS (
 {_KG_TRIPLES_SQL}
 )
 SELECT * FROM structural
@@ -2171,6 +2222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x13_label_composition": q_label_composition,
         "g6_mapping_extension": q_mapping_extension,
         "g8_bgp_match": q_bgp_match,
+        "g9_entity_comention": q_entity_comention,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2240,6 +2292,7 @@ def oracle_sql() -> dict[str, str]:
         "x13_label_composition": _x13_sql(),
         "g6_mapping_extension": _G6_SQL,
         "g8_bgp_match": _BGP_SQL,
+        "g9_entity_comention": _comention_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,
