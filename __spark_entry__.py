@@ -201,6 +201,74 @@ FROM ce GROUP BY e
 """.strip()
 
 
+# verbatim SPARQL text — every construct here appears in the reference's
+# own queries (extractBertMapMappings.py:110-143: predicate-object lists,
+# FILTER IN; plus OPTIONAL for the sparse tool attribute). The engine
+# parses and compiles this text to a DataFrame plan (operators/sparql.py);
+# the oracle is the closed form straight off the normalized turns table.
+_G10_SPARQL = """
+    SELECT ?conv ?turn ?role ?tool WHERE {
+        ?turn rdf:type kg:Turn ;
+              p_Turn_Conversation ?conv ;
+              has_role ?rattr .
+        ?rattr has_role_VALUE ?role .
+        OPTIONAL { ?turn has_tool ?tattr . ?tattr has_tool_VALUE ?tool . }
+        FILTER (?role IN ('user', 'tool'))
+    }
+"""
+
+
+def q_sparql_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G10 (engine extension): SPARQL SELECT text — the query language the
+    reference speaks to GraphDB/rdflib (GraphDBService.java,
+    extractBertMapMappings.py:110-143) — parsed and compiled to a
+    DataFrame plan over the triple table. Exercises predicate-object
+    lists, FILTER IN, and OPTIONAL (left join) against the sparse
+    has_tool attribute; no Python in the row path."""
+    from knowledgegraphs_spark.operators.sparql import sparql_select
+
+    triples = q_kg_triples_structural(spark, sf_dir)
+    return sparql_select(triples, _G10_SPARQL)
+
+
+_G10_SQL = f"""
+{_TURNS_NORM_SQL}
+SELECT 'kg:Conversation_1_' || conv_id AS conv,
+       'kg:Turn_2_' || conv_id || '_' || turn_idx AS turn,
+       role, tool
+FROM turns WHERE role IN ('user', 'tool')
+""".strip()
+
+
+_G11_SPARQL = """
+    SELECT ?role (COUNT(DISTINCT ?conv) AS ?n_convs) (COUNT(*) AS ?n_turns)
+    WHERE {
+        ?turn rdf:type kg:Turn ;
+              p_Turn_Conversation ?conv ;
+              has_role ?rattr .
+        ?rattr has_role_VALUE ?role .
+    } GROUP BY ?role
+"""
+
+
+def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 (engine extension): SPARQL GROUP BY + COUNT(DISTINCT)
+    aggregation compiled from query text to a hash-aggregate plan — per
+    role, distinct conversations and turn count over the structural KG."""
+    from knowledgegraphs_spark.operators.sparql import sparql_select
+
+    triples = q_kg_triples_structural(spark, sf_dir)
+    return sparql_select(triples, _G11_SPARQL)
+
+
+_G11_SQL = f"""
+{_TURNS_NORM_SQL}
+SELECT role, cast(count(DISTINCT conv_id) AS bigint) AS n_convs,
+       cast(count(*) AS bigint) AS n_turns
+FROM turns WHERE role IS NOT NULL GROUP BY role
+""".strip()
+
+
 def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (mentions → blocked matching → iterative CC →
     triples), value-checked against :func:`_kg_full_sql` — the iterative
@@ -2223,6 +2291,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g6_mapping_extension": q_mapping_extension,
         "g8_bgp_match": q_bgp_match,
         "g9_entity_comention": q_entity_comention,
+        "g10_sparql_optional_filter": q_sparql_optional_filter,
+        "g11_sparql_aggregate": q_sparql_aggregate,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2293,6 +2363,8 @@ def oracle_sql() -> dict[str, str]:
         "g6_mapping_extension": _G6_SQL,
         "g8_bgp_match": _BGP_SQL,
         "g9_entity_comention": _comention_sql(),
+        "g10_sparql_optional_filter": _G10_SQL,
+        "g11_sparql_aggregate": _G11_SQL,
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,

@@ -1,0 +1,357 @@
+"""SPARQL SELECT evaluation (operators/sparql.py).
+
+The centerpiece tests run the reference's own query TEXT — copied
+verbatim from where the reference sends it to rdflib/Jena/GraphDB — over
+a triple-table rendering of the same ontology, and check hand-derived
+expected bindings:
+
+- annotation fetch with ``FILTER (?predicate IN (...))``
+  (extractBertMapMappings.py:110-114)
+- the three-branch union with blank-node restriction patterns
+  (extractBertMapMappings.py:119-143)
+- ``?ns a owl:Ontology`` (extractBertMapMappings.py:63)
+- table-class listing ``?tableURI a owl:Class ; rdfs:subClassOf <...>``
+  (ExactMapper.java:88-91)
+- ``FILTER (str(?label) = '...')`` (DICOM2SediJSON.java:251-255)
+- domain/range object-property lookup (DSON2OWL.java:57-59)
+"""
+
+import pytest
+
+from knowledgegraphs_spark.operators.sparql import parse_query, sparql_select
+
+RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+OWL = "http://www.w3.org/2002/07/owl#"
+SKOS = "http://www.w3.org/2004/02/skos/core#"
+PO = "http://example.org/po#"
+
+SW_PREFIXES = f"""
+PREFIX rdf: <{RDF}>
+PREFIX rdfs: <{RDFS}>
+PREFIX owl: <{OWL}>
+PREFIX skos: <{SKOS}>
+PREFIX PO: <{PO}>
+"""
+
+# A miniature ontology graph in the store's term representation (full
+# IRIs as plain strings, literals as their lexical forms). Blank nodes
+# are skolemized to b1..b4 URIs — exactly what a triple-table rendering
+# of an RDF graph does.
+TBOX = [
+    (PO + "onto", RDF + "type", OWL + "Ontology"),
+    # table classes
+    (PO + "Person", RDF + "type", OWL + "Class"),
+    (PO + "Person", RDFS + "subClassOf", PO + "TableClass"),
+    (PO + "Person", RDFS + "label", "Person"),
+    (PO + "Address", RDF + "type", OWL + "Class"),
+    (PO + "Address", RDFS + "subClassOf", PO + "TableClass"),
+    (PO + "Address", RDFS + "label", "Address"),
+    # attribute class
+    (PO + "name_attr", RDFS + "subClassOf", PO + "AttributeClass"),
+    # branch 1: Person subClassOf [ a Restriction ; onProperty hasName ]
+    (PO + "b1", RDF + "type", OWL + "Restriction"),
+    (PO + "b1", OWL + "onProperty", PO + "hasName"),
+    (PO + "Person", RDFS + "subClassOf", PO + "b1"),
+    # branch 2: Person subClassOf [ a Restriction ; someValuesFrom name_attr ]
+    (PO + "b2", RDF + "type", OWL + "Restriction"),
+    (PO + "b2", OWL + "someValuesFrom", PO + "name_attr"),
+    (PO + "Person", RDFS + "subClassOf", PO + "b2"),
+    # branch 3: street_attr subClassOf [ a Restriction ; onProperty hasStreet ],
+    #           Address subClassOf [ a Restriction ; someValuesFrom street_attr ]
+    (PO + "street_attr", RDFS + "subClassOf", PO + "AttributeClass"),
+    (PO + "b3", RDF + "type", OWL + "Restriction"),
+    (PO + "b3", OWL + "onProperty", PO + "hasStreet"),
+    (PO + "street_attr", RDFS + "subClassOf", PO + "b3"),
+    (PO + "b4", RDF + "type", OWL + "Restriction"),
+    (PO + "b4", OWL + "someValuesFrom", PO + "street_attr"),
+    (PO + "Address", RDFS + "subClassOf", PO + "b4"),
+    # annotations on hasName
+    (PO + "hasName", RDFS + "label", "has name"),
+    (PO + "hasName", SKOS + "altLabel", "name"),
+    (PO + "hasName", SKOS + "prefLabel", "name-pref"),
+    # object property with domain/range (DSON2OWL.java:57-59)
+    (PO + "livesAt", RDFS + "domain", PO + "Person"),
+    (PO + "livesAt", RDFS + "range", PO + "Address"),
+    # labelled resources for the str()-filter query
+    (PO + "tag_00100010", RDFS + "label", "(0010,0010)"),
+    (PO + "tag_00100020", RDFS + "label", "(0010,0020)"),
+    # subclass chain for property-path closure: C3 < C2 < C1 < TableClass
+    (PO + "C1", RDFS + "subClassOf", PO + "TableClass"),
+    (PO + "C2", RDFS + "subClassOf", PO + "C1"),
+    (PO + "C3", RDFS + "subClassOf", PO + "C2"),
+]
+
+
+@pytest.fixture(scope="module")
+def tbox(spark):
+    return spark.createDataFrame(TBOX, "subj string, pred string, obj string")
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# -------------------------------------------------------------------------
+# reference queries, verbatim
+# -------------------------------------------------------------------------
+
+
+def test_reference_annotation_filter_in(tbox):
+    # extractBertMapMappings.py:110-114 — _getSourceOntologyAnnotations
+    resource = PO + "hasName"
+    props = ", ".join(f"<{p}>" for p in (RDFS + "label", SKOS + "altLabel"))
+    query = f"""
+            SELECT ?annot
+            WHERE {{
+                <{resource}> ?predicate ?annot .
+                 FILTER (?predicate IN ({props}))
+            }}
+            """
+    assert rows(sparql_select(tbox, query)) == [("has name",), ("name",)]
+
+
+def test_reference_three_branch_union(tbox):
+    # extractBertMapMappings.py:119-143 — verbatim, including the `a`
+    # keyword inside blank-node property lists and lowercase `union`.
+    def q(resource):
+        return f"""{SW_PREFIXES}
+                SELECT ?tableClassLabel WHERE {{
+                    ?tableClass rdfs:subClassOf PO:TableClass ;
+                                rdfs:label ?tableClassLabel .
+                    {{
+                        ?tableClass rdfs:subClassOf
+                            [ a owl:Restriction ; owl:onProperty <{resource}> ] .
+                    }}
+                    union
+                    {{
+                        ?tableClass rdfs:subClassOf
+                            [ a owl:Restriction ; owl:someValuesFrom <{resource}>] .
+                    }}
+                    union
+                    {{
+                        ?attributeClass rdfs:subClassOf PO:AttributeClass ,
+                                        [a owl:Restriction; owl:onProperty <{resource}> ] .
+                        ?tableClass rdfs:subClassOf [ a owl:Restriction ; owl:someValuesFrom ?attributeClass] .
+                    }}
+                }}
+            """
+
+    # branch 1: Person owns hasName through an onProperty restriction
+    assert rows(sparql_select(tbox, q(PO + "hasName"))) == [("Person",)]
+    # branch 2: Person someValuesFrom name_attr
+    assert rows(sparql_select(tbox, q(PO + "name_attr"))) == [("Person",)]
+    # branch 3: hasStreet hangs off name_attr, owned by Address
+    assert rows(sparql_select(tbox, q(PO + "hasStreet"))) == [("Address",)]
+    # unrelated resource: no owner
+    assert rows(sparql_select(tbox, q(PO + "nothing"))) == []
+
+
+def test_reference_onto_ns(tbox):
+    # extractBertMapMappings.py:63 — _ontoNs
+    query = SW_PREFIXES + "select ?ns where {\n?ns a owl:Ontology .}"
+    assert rows(sparql_select(tbox, query)) == [(PO + "onto",)]
+
+
+def test_reference_exact_mapper_table_classes(tbox):
+    # ExactMapper.java:88-91 — getTableOntoEl
+    query = (
+        SW_PREFIXES
+        + "SELECT ?tableURI WHERE {\n"
+        + "     ?tableURI a owl:Class ; \n"
+        + f"               rdfs:subClassOf <{PO}TableClass> . \n"
+        + "}"
+    )
+    assert rows(sparql_select(tbox, query)) == [(PO + "Address",), (PO + "Person",)]
+
+
+def test_reference_dicom_str_filter(tbox):
+    # DICOM2SediJSON.java:334-338 — getFromCode via rdfs:label
+    query = (
+        SW_PREFIXES
+        + "\nSELECT ?resource"
+        + "\n where {"
+        + "\n?resource rdfs:label ?label . "
+        + "\nFILTER (str(?label) = '(0010,0020)')"
+        + "\n}"
+    )
+    assert rows(sparql_select(tbox, query)) == [(PO + "tag_00100020",)]
+
+
+def test_reference_domain_range_lookup(tbox):
+    # DSON2OWL.java:57-59 — object property connecting two superclasses
+    query = (
+        SW_PREFIXES
+        + "select ?objProp where { \n"
+        + f"?objProp rdfs:domain <{PO}Person> .\n"
+        + f"?objProp rdfs:range <{PO}Address> .\n}}"
+    )
+    assert rows(sparql_select(tbox, query)) == [(PO + "livesAt",)]
+
+
+# -------------------------------------------------------------------------
+# engine features beyond the reference's verbatim set
+# -------------------------------------------------------------------------
+
+
+def test_undeclared_prefix_matches_compact_terms(spark):
+    # the engine's own triple tables store compact terms (rdf:type, kg:...)
+    t = spark.createDataFrame(
+        [("kg:T1", "rdf:type", "kg:Turn"), ("kg:T1", "has_role", "user")],
+        "subj string, pred string, obj string",
+    )
+    got = sparql_select(t, "SELECT ?t WHERE { ?t rdf:type kg:Turn ; has_role 'user' . }")
+    assert rows(got) == [("kg:T1",)]
+
+
+def test_optional_left_join_and_bound(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls ?lbl WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            OPTIONAL {{ ?cls rdfs:label ?lbl . }}
+        }}"""
+    got = rows(sparql_select(tbox, query))
+    assert (PO + "C1", None) in got
+    assert (PO + "Person", "Person") in got
+    # !BOUND keeps only the label-less classes
+    q2 = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            OPTIONAL {{ ?cls rdfs:label ?lbl . }}
+            FILTER (!(BOUND(?lbl)))
+        }}"""
+    assert rows(sparql_select(tbox, q2)) == [(PO + "C1",)]
+
+
+def test_not_exists_anti_join(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            FILTER NOT EXISTS {{ ?cls rdfs:label ?lbl . }}
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [(PO + "C1",)]
+    q2 = query.replace("NOT EXISTS", "EXISTS")
+    assert rows(sparql_select(tbox, q2)) == [(PO + "Address",), (PO + "Person",)]
+
+
+def test_property_path_plus_closure(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?anc WHERE {{ PO:C3 rdfs:subClassOf+ ?anc . }}"""
+    assert rows(sparql_select(tbox, query)) == [
+        (PO + "C1",),
+        (PO + "C2",),
+        (PO + "TableClass",),
+    ]
+
+
+def test_property_path_sequence_alt_inverse(tbox):
+    # sequence: property -> its domain class -> that class's label
+    q_seq = f"""{SW_PREFIXES}
+        SELECT ?lbl WHERE {{ PO:livesAt rdfs:domain/rdfs:label ?lbl . }}"""
+    assert rows(sparql_select(tbox, q_seq)) == [("Person",)]
+    # alternative: both ends of livesAt
+    q_alt = f"""{SW_PREFIXES}
+        SELECT ?c WHERE {{ PO:livesAt rdfs:domain|rdfs:range ?c . }}"""
+    assert rows(sparql_select(tbox, q_alt)) == [(PO + "Address",), (PO + "Person",)]
+    # inverse: who has Person as domain
+    q_inv = f"""{SW_PREFIXES}
+        SELECT ?p WHERE {{ PO:Person ^rdfs:domain ?p . }}"""
+    assert rows(sparql_select(tbox, q_inv)) == [(PO + "livesAt",)]
+
+
+def test_star_modifier_raises(tbox):
+    with pytest.raises(SyntaxError, match="zero-length"):
+        parse_query("SELECT ?x WHERE { ?x p:sub* ?y . }")
+
+
+def test_aggregates_group_by_order_limit(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls (COUNT(?sup) AS ?n) WHERE {{
+            ?cls rdfs:subClassOf ?sup .
+        }} GROUP BY ?cls ORDER BY DESC(?n) ?cls LIMIT 2"""
+    got = sparql_select(tbox, query)
+    assert got.columns == ["cls", "n"]
+    assert [tuple(r) for r in got.collect()] == [(PO + "Person", 3), (PO + "Address", 2)]
+
+
+def test_count_distinct_global(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT (COUNT(DISTINCT ?cls) AS ?n) WHERE {{
+            ?cls rdfs:subClassOf ?sup .
+        }}"""
+    # Person, Address, name_attr, street_attr, C1, C2, C3
+    assert rows(sparql_select(tbox, query)) == [(7,)]
+
+
+def test_distinct_regex_contains(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT DISTINCT ?s WHERE {{
+            ?s rdfs:label ?l .
+            FILTER (REGEX(?l, '^\\\\(0010', ''))
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [
+        (PO + "tag_00100010",),
+        (PO + "tag_00100020",),
+    ]
+    q2 = f"""{SW_PREFIXES}
+        SELECT ?s WHERE {{
+            ?s rdfs:label ?l . FILTER (CONTAINS(?l, '0020') && STRSTARTS(?l, '('))
+        }}"""
+    assert rows(sparql_select(tbox, q2)) == [(PO + "tag_00100020",)]
+
+
+def test_numeric_comparison_and_in_not_in(spark):
+    t = spark.createDataFrame(
+        [("a", "score", "10"), ("b", "score", "9.5"), ("c", "score", "2")],
+        "subj string, pred string, obj string",
+    )
+    got = sparql_select(t, "SELECT ?s WHERE { ?s score ?v . FILTER (?v >= 9.5) }")
+    assert rows(got) == [("a",), ("b",)]
+    got2 = sparql_select(t, "SELECT ?s WHERE { ?s score ?v . FILTER (?s NOT IN ('a', 'c')) }")
+    assert rows(got2) == [("b",)]
+
+
+def test_offset_and_order(spark):
+    t = spark.createDataFrame(
+        [(f"s{i}", "p", f"o{i}") for i in range(5)],
+        "subj string, pred string, obj string",
+    )
+    got = sparql_select(t, "SELECT ?s WHERE { ?s p ?o . } ORDER BY ?s LIMIT 2 OFFSET 1")
+    assert [r[0] for r in got.collect()] == ["s1", "s2"]
+
+
+def test_select_star_excludes_internal_vars(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT * WHERE {{
+            ?cls rdfs:subClassOf [ a owl:Restriction ; owl:onProperty PO:hasName ] .
+        }}"""
+    got = sparql_select(tbox, query)
+    assert got.columns == ["cls"]
+    assert rows(got) == [(PO + "Person",)]
+
+
+def test_parse_errors():
+    with pytest.raises(SyntaxError):
+        parse_query("SELECT ?x WHERE { ?x p ?y ")  # unclosed group
+    with pytest.raises(SyntaxError):
+        parse_query("WHERE { ?x p ?y }")  # missing SELECT
+    with pytest.raises(SyntaxError):
+        parse_query("SELECT ?x WHERE { ?x p ?y . } TRAILING")
+
+
+def test_ungrouped_select_var_with_aggregate_raises(tbox):
+    q = parse_query("SELECT ?cls (COUNT(*) AS ?n) WHERE { ?cls p ?y . }")
+    with pytest.raises(ValueError, match="GROUP BY"):
+        sparql_select(tbox, q)
+
+
+def test_plan_has_pushed_filters_and_no_python(tbox):
+    # constant-predicate patterns must compile to plain filters + joins —
+    # BatchEvalPython / CartesianProduct must not appear for connected BGPs
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls ?lbl WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass ; rdfs:label ?lbl .
+        }}"""
+    plan = sparql_select(tbox, query)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
