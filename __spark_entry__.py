@@ -132,7 +132,12 @@ def q_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversation and role-attribute node."""
     from knowledgegraphs_spark.operators.bgp import match_bgp
 
-    triples = q_kg_triples_structural(spark, sf_dir)
+    # Query a MATERIALIZED store: a k-pattern graph query scans the triple
+    # relation k times, and Spark has no cross-branch CSE — without this,
+    # each pattern re-runs the whole build (measured 6 rebuilds, 0 reused
+    # exchanges on g10). Production queries read write_triples output;
+    # the lazy localCheckpoint is the in-session equivalent.
+    triples = q_kg_triples_structural(spark, sf_dir).localCheckpoint(eager=True)
     return match_bgp(
         triples,
         [
@@ -171,7 +176,12 @@ def q_entity_comention(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery on the oracle side)."""
     from knowledgegraphs_spark.operators.bgp import match_bgp
 
-    triples = q_kg_triples_full(spark, sf_dir)
+    # Query a MATERIALIZED store: a k-pattern graph query scans the triple
+    # relation k times, and Spark has no cross-branch CSE — without this,
+    # each pattern re-runs the whole build (measured 6 rebuilds, 0 reused
+    # exchanges on g10). Production queries read write_triples output;
+    # the lazy localCheckpoint is the in-session equivalent.
+    triples = q_kg_triples_full(spark, sf_dir).localCheckpoint(eager=True)
     res = match_bgp(
         triples,
         [
@@ -227,7 +237,12 @@ def q_sparql_optional_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     has_tool attribute; no Python in the row path."""
     from knowledgegraphs_spark.operators.sparql import sparql_select
 
-    triples = q_kg_triples_structural(spark, sf_dir)
+    # Query a MATERIALIZED store: a k-pattern graph query scans the triple
+    # relation k times, and Spark has no cross-branch CSE — without this,
+    # each pattern re-runs the whole build (measured 6 rebuilds, 0 reused
+    # exchanges on g10). Production queries read write_triples output;
+    # the lazy localCheckpoint is the in-session equivalent.
+    triples = q_kg_triples_structural(spark, sf_dir).localCheckpoint(eager=True)
     return sparql_select(triples, _G10_SPARQL)
 
 
@@ -257,7 +272,12 @@ def q_sparql_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     role, distinct conversations and turn count over the structural KG."""
     from knowledgegraphs_spark.operators.sparql import sparql_select
 
-    triples = q_kg_triples_structural(spark, sf_dir)
+    # Query a MATERIALIZED store: a k-pattern graph query scans the triple
+    # relation k times, and Spark has no cross-branch CSE — without this,
+    # each pattern re-runs the whole build (measured 6 rebuilds, 0 reused
+    # exchanges on g10). Production queries read write_triples output;
+    # the lazy localCheckpoint is the in-session equivalent.
+    triples = q_kg_triples_structural(spark, sf_dir).localCheckpoint(eager=True)
     return sparql_select(triples, _G11_SPARQL)
 
 
