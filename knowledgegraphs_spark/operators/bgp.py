@@ -53,10 +53,20 @@ def match_bgp(triples: DataFrame, patterns: list[tuple[str, str, str]]) -> DataF
     """
     if not patterns:
         raise ValueError("empty basic graph pattern")
+    # read_triples stores: constant-subject patterns additionally filter
+    # subj_bucket (folds to a partition filter → 1/n of files read)
+    n_buckets = getattr(triples, "_kg_subj_buckets", None)
+    bucketed = n_buckets and "subj_bucket" in triples.columns
     out: DataFrame | None = None
     bound: set[str] = set()
     for s, p, o in patterns:
         t = triples.select(*_POSITIONS)
+        if bucketed and not _is_var(s):
+            from .triples import subj_bucket_of
+
+            t = triples.filter(
+                F.col("subj_bucket") == subj_bucket_of(s, n_buckets)
+            ).select(*_POSITIONS)
         seen: dict[str, str] = {}
         cols = []
         for pos, term in zip(_POSITIONS, (s, p, o)):

@@ -594,12 +594,64 @@ def _path_edges(triples: DataFrame, path) -> DataFrame:
     raise TypeError(f"unknown path {path!r}")
 
 
+def _pattern_selectivity(pat) -> tuple:
+    """Heuristic selectivity key (higher sorts first): constants bound in
+    (subj, obj, pred) order of weight — the classic variable-counting
+    heuristic for BGP join ordering (Stocker et al., "SPARQL basic graph
+    pattern optimization using selectivity estimation", WWW'08). A
+    constant subject is a point lookup; a constant object narrows hard; a
+    constant predicate alone is the least selective (predicates are
+    low-cardinality)."""
+    s, path, o = pat
+    return (
+        isinstance(s, Term),
+        isinstance(o, Term),
+        isinstance(path, PathIri),
+    )
+
+
+def _order_patterns(pats: list, bound: set | None = None) -> list:
+    """Greedy join ordering: start from the most selective pattern, then
+    repeatedly take the most selective pattern CONNECTED to the bound
+    variable set (avoiding intermediate cross products); fall back to the
+    most selective remaining one when the BGP is disconnected. Inner-join
+    reordering is semantics-preserving under bag semantics; Spark itself
+    won't reorder these joins without CBO table statistics, so pattern
+    order in the query text would otherwise dictate the join tree."""
+
+    def pat_vars(p):
+        return {t.name for t in (p[0], p[1], p[2]) if isinstance(t, Var)}
+
+    remaining = sorted(range(len(pats)), key=lambda i: _pattern_selectivity(pats[i]), reverse=True)
+    out, bound = [], set(bound or ())
+    while remaining:
+        pick = next((i for i in remaining if pat_vars(pats[i]) & bound), None) if bound else None
+        if pick is None:
+            pick = remaining[0]
+        remaining.remove(pick)
+        out.append(pats[pick])
+        bound |= pat_vars(pats[pick])
+    return out
+
+
 def _eval_bgp(triples: DataFrame, bgp: Bgp, acc: DataFrame | None) -> DataFrame:
-    for s, path, o in bgp.triples:
+    # read_triples attaches the store's bucket count: constant-subject
+    # patterns then also filter subj_bucket, which the file index folds to
+    # a partition filter — a point lookup reads 1/n of the store's files
+    n_buckets = getattr(triples, "_kg_subj_buckets", None)
+    bucketed = n_buckets and "subj_bucket" in triples.columns
+    acc_vars = set(acc.columns) if acc is not None else set()
+    for s, path, o in _order_patterns(bgp.triples, acc_vars):
         if isinstance(path, (PathIri, Var)):
             rel = triples.select("subj", "pred", "obj")
             pred = path if isinstance(path, Var) else Term(path.iri)
             positions = (("subj", s), ("pred", pred), ("obj", o))
+            if bucketed and isinstance(s, Term):
+                from .triples import subj_bucket_of
+
+                rel = triples.filter(
+                    F.col("subj_bucket") == subj_bucket_of(s.text, n_buckets)
+                ).select("subj", "pred", "obj")
         else:
             rel = _path_edges(triples, path)
             positions = (("s", s), ("o", o))

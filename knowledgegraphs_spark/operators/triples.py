@@ -253,12 +253,42 @@ def emit_transcript_triples(
     return emit_table_triples_single_pass(turns, turn_spec, po, extra_arrays=[conv_type])
 
 
+def subj_bucket_of(subj: Column | str, n_buckets: int) -> Column:
+    """The bucket a subject lands in under ``write_triples``' layout.
+    On a literal subject this folds to a constant, so a filter built from
+    it becomes a PARTITION filter — the file index drops the other
+    n_buckets−1 directories before any row group is read (the SPO-index
+    role a triple store's B-tree plays)."""
+    c = F.lit(subj) if isinstance(subj, str) else subj
+    return F.pmod(F.xxhash64(c), F.lit(n_buckets))
+
+
 def write_triples(triples: DataFrame, path: str, n_buckets: int = 32) -> None:
-    """Persist partitioned by subject hash so per-subject reads prune."""
+    """Persist partitioned by subject hash so per-subject reads prune.
+    Also records the bucket count under ``<path>/_kg_meta`` (underscore
+    prefix = invisible to the parquet file index) so ``read_triples`` can
+    re-arm constant-subject partition pruning in later sessions."""
     (
-        triples.withColumn("subj_bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets)))
+        triples.withColumn("subj_bucket", subj_bucket_of(F.col("subj"), n_buckets))
         .repartition(n_buckets, "subj_bucket")
         .write.mode("overwrite")
         .partitionBy("subj_bucket")
         .parquet(path)
     )
+    spark = triples.sparkSession
+    meta = spark.createDataFrame([(n_buckets,)], "subj_buckets int")
+    meta.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "/_kg_meta")
+
+
+def read_triples(spark, path: str) -> DataFrame:
+    """Open a ``write_triples`` store. The returned DataFrame carries the
+    bucket count as ``_kg_subj_buckets`` (plain Python attribute — Spark
+    has no DataFrame metadata channel), which the BGP/SPARQL evaluators
+    use to turn constant-subject patterns into partition-pruned scans."""
+    df = spark.read.parquet(path)
+    try:
+        n = spark.read.json(path.rstrip("/") + "/_kg_meta").collect()[0]["subj_buckets"]
+        df._kg_subj_buckets = int(n)
+    except Exception:
+        pass  # plain parquet without the meta sidecar: no pruning rewrite
+    return df

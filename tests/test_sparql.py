@@ -17,6 +17,7 @@ expected bindings:
 """
 
 import pytest
+from pyspark.sql import functions as F
 
 from knowledgegraphs_spark.operators.sparql import parse_query, sparql_select
 
@@ -343,6 +344,101 @@ def test_ungrouped_select_var_with_aggregate_raises(tbox):
     q = parse_query("SELECT ?cls (COUNT(*) AS ?n) WHERE { ?cls p ?y . }")
     with pytest.raises(ValueError, match="GROUP BY"):
         sparql_select(tbox, q)
+
+
+def test_sparql_text_agrees_with_match_bgp_on_random_patterns(spark):
+    """The text path (parse → compile) and the programmatic BGP API must
+    produce identical bindings on random connected patterns over random
+    graphs — same bag semantics, same variable handling, including
+    variable predicates and constants in any position."""
+    import random
+
+    from knowledgegraphs_spark.operators.bgp import match_bgp
+
+    rng = random.Random(7)
+    for _ in range(6):
+        nodes = [f"n{i}" for i in range(6)]
+        preds = [f"p{i}" for i in range(3)]
+        data = [(rng.choice(nodes), rng.choice(preds), rng.choice(nodes)) for _ in range(30)]
+        t = spark.createDataFrame(data, "subj string, pred string, obj string")
+        all_vars = ["?x", "?y", "?z", "?w"]
+        pats, used = [], ["?x"]
+        for k in range(rng.randint(1, 3)):
+            s = rng.choice(used)  # stay connected: subject is a bound var
+            p = rng.choice(preds + (["?p"] if k == 0 else []))
+            o = rng.choice(all_vars + nodes)
+            pats.append((s, p, o))
+            for term in (s, p, o):
+                if term.startswith("?") and term not in used:
+                    used.append(term)
+        text = "SELECT * WHERE { " + " . ".join(f"{s} {p} {o}" for s, p, o in pats) + " . }"
+        got_text = rows(sparql_select(t, text))
+        got_api = rows(match_bgp(t, pats))
+        assert got_text == got_api, (pats, text)
+
+
+def test_join_ordering_puts_selective_patterns_first():
+    """Greedy BGP ordering: constant-subject point lookups lead, pred-only
+    patterns trail, and every later pattern connects to the bound set —
+    query-text order must not dictate the join tree (Spark won't reorder
+    these joins without CBO statistics)."""
+    from knowledgegraphs_spark.operators.sparql import (
+        PathIri,
+        Term,
+        Var,
+        _order_patterns,
+    )
+
+    chain = (Var("t"), PathIri("has_role"), Var("r"))  # pred-only, t—r
+    point = (Term("kg:T1"), PathIri("has_role"), Var("r"))  # subj const
+    byobj = (Var("t"), PathIri("rdf:type"), Term("kg:Turn"))  # obj const
+    hop = (Var("r"), PathIri("role_value"), Var("v"))  # pred-only, via ?r
+    got = _order_patterns([chain, hop, byobj, point])
+    assert got[0] == point  # most selective leads
+    # every subsequent pattern shares a variable with what's already bound
+    bound = {"r"}
+    for s, p, o in got[1:]:
+        pv = {t.name for t in (s, p, o) if isinstance(t, Var)}
+        assert pv & bound, got
+        bound |= pv
+    # a pre-bound accumulator steers the first pick to a connected pattern
+    got2 = _order_patterns([chain, byobj], {"t"})
+    assert got2[0] == byobj  # obj-constant beats pred-only among connected
+
+
+def test_point_lookup_prunes_store_partitions(spark, tmp_path):
+    """Over a write_triples store, a constant-subject pattern must become
+    a PARTITION filter (subj_bucket), not just a row filter — the file
+    index drops the other buckets before any row group is read. Results
+    must equal the unpruned path."""
+    from knowledgegraphs_spark.operators.bgp import match_bgp
+    from knowledgegraphs_spark.operators.triples import read_triples, write_triples
+
+    data = [(f"s{i}", "p", f"o{i}") for i in range(50)] + [("s7", "q", "extra")]
+    t = spark.createDataFrame(data, "subj string, pred string, obj string")
+    path = str(tmp_path / "store")
+    write_triples(
+        t.select("subj", "pred", "obj", F.lit("xsd:string").alias("obj_dtype"),
+                 F.lit(True).alias("is_literal")),
+        path,
+        n_buckets=8,
+    )
+    store = read_triples(spark, path)
+    assert getattr(store, "_kg_subj_buckets", None) == 8
+
+    for df in (
+        sparql_select(store, "SELECT ?p ?o WHERE { s7 ?p ?o . }"),
+        match_bgp(store, [("s7", "?p", "?o")]),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "subj_bucket" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+        got = sorted(tuple(r) for r in df.select("p", "o").collect())
+        assert got == [("p", "o7"), ("q", "extra")]
+
+    # plain parquet read (no meta attribute): same results, no rewrite
+    bare = spark.read.parquet(path)
+    got = sparql_select(bare, "SELECT ?p ?o WHERE { s7 ?p ?o . }")
+    assert sorted(tuple(r) for r in got.collect()) == [("p", "o7"), ("q", "extra")]
 
 
 def test_plan_has_pushed_filters_and_no_python(tbox):
