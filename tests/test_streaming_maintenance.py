@@ -229,3 +229,46 @@ def test_bootstrap_from_batch_catalog(spark, tmp_path):
         if t[1] == "rdf:type" and t[2] == "kg:Entity"
     ]
     assert decls == []
+
+
+def test_sparql_over_live_store(spark, tmp_path):
+    """Query the LIVE maintained graph with SPARQL text between batches —
+    the triple store role end-to-end: stream maintains, analysts query,
+    no export step. The entity's conversation count must track the store
+    state at each point."""
+    from knowledgegraphs_spark.operators.sparql import sparql_select
+
+    inp = str(tmp_path / "turns")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(inp)
+
+    q = """
+        SELECT ?e (COUNT(DISTINCT ?c) AS ?n_convs) WHERE {
+            ?t has_mention ?m .
+            ?m p_Mention_Entity ?e .
+            ?t p_Turn_Conversation ?c .
+        } GROUP BY ?e
+    """
+
+    def counts():
+        live = read_maintained_triples(spark, store).localCheckpoint(eager=True)
+        return {r.e: r.n_convs for r in sparql_select(live, q).collect()}
+
+    _turns(spark, B1).coalesce(1).write.parquet(os.path.join(inp, "batch=1"))
+    _run_stream(spark, inp, store, ckpt)
+    after_b1 = counts()
+
+    _turns(spark, B2).coalesce(1).write.parquet(os.path.join(inp, "batch=2"))
+    _run_stream(spark, inp, store, ckpt)
+    after_b2 = counts()
+
+    # Acme (c1 in B1, c3 in B2) grows 1 -> 2 under the SAME entity URI;
+    # Widget Works (c2 in B1, c1 in B2) likewise
+    acme = [e for e in after_b1 if "Acme" in e]
+    widget = [e for e in after_b1 if "Widget" in e]
+    assert len(acme) == 1 and len(widget) == 1
+    assert after_b1[acme[0]] == 1 and after_b2[acme[0]] == 2
+    assert after_b1[widget[0]] == 1 and after_b2[widget[0]] == 2
+    # URI stability: batch 2 did not mint a second Acme entity
+    assert len([e for e in after_b2 if "Acme" in e]) == 1
