@@ -23,7 +23,7 @@ own sink emit): ``@prefix``/``PREFIX`` directives, IRIs, prefixed names,
 nodes ``[ ... ]``, labeled blanks ``_:x``, collections ``( ... )``
 (expanded to rdf:first/rest/nil), short and long string literals with
 escapes, ``^^`` datatypes, ``@lang`` tags, numeric and boolean literals,
-comments. ``@base``/relative IRIs are rejected, not mis-parsed.
+comments, ``@base``/``BASE`` with RFC 3986 relative-IRI resolution.
 
 Term representation follows the engine convention: ``expand_prefixes=
 True`` (default) resolves prefixed names against the document's own
@@ -111,6 +111,7 @@ class _TurtleParser:
         self.i = 0
         self.expand = expand_prefixes
         self.prefixes: dict[str, str] = {}
+        self.base: str | None = None
         self.triples: list[tuple] = []
         self._blank_n = 0
         self._doc = doc_id or hashlib.md5(text.encode()).hexdigest()[:8]
@@ -134,6 +135,19 @@ class _TurtleParser:
         return f"_:b{self._doc}_{self._blank_n}"
 
     # -- term resolution ----------------------------------------------------
+    def _iri(self, tok: str) -> str:
+        """IRIREF token (brackets included) → IRI text, resolving relative
+        references against ``@base`` per RFC 3986 (the reference's own
+        mapping.ttl uses ``<#Name>`` forms)."""
+        ref = tok[1:-1]
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", ref):
+            return ref
+        if self.base is None:
+            raise SyntaxError(f"Turtle: relative IRI {ref!r} without @base")
+        from urllib.parse import urljoin
+
+        return urljoin(self.base, ref)
+
     def _pname(self, tok: str) -> str:
         if not self.expand:
             return tok
@@ -163,13 +177,15 @@ class _TurtleParser:
             if k == "AT" and v.lower() in ("@prefix", "@base"):
                 self.next()
                 if v.lower() == "@base":
-                    raise SyntaxError("Turtle: @base/relative IRIs unsupported")
-                self._prefix_decl(sparql_style=False)
+                    self._base_decl(sparql_style=False)
+                else:
+                    self._prefix_decl(sparql_style=False)
             elif k == "WORD" and v.upper() in ("PREFIX", "BASE"):
                 self.next()
                 if v.upper() == "BASE":
-                    raise SyntaxError("Turtle: BASE/relative IRIs unsupported")
-                self._prefix_decl(sparql_style=True)
+                    self._base_decl(sparql_style=True)
+                else:
+                    self._prefix_decl(sparql_style=True)
             else:
                 subj = self._subject()
                 self._predicate_object_list(subj)
@@ -188,6 +204,14 @@ class _TurtleParser:
         if not sparql_style:
             self.eat(".")
 
+    def _base_decl(self, sparql_style: bool) -> None:
+        k, iri = self.next()
+        if k != "IRI":
+            raise SyntaxError(f"Turtle: bad @base IRI {iri!r}")
+        self.base = iri[1:-1]
+        if not sparql_style:
+            self.eat(".")
+
     def _subject(self) -> str:
         k, v = self.peek()
         if v == "[":
@@ -196,7 +220,7 @@ class _TurtleParser:
             return self._collection()
         self.next()
         if k == "IRI":
-            return v[1:-1]
+            return self._iri(v)
         if k == "PNAME":
             return self._pname(v)
         if k == "BLANK":
@@ -210,7 +234,7 @@ class _TurtleParser:
         if k == "WORD" and v == "a":
             return self._rdf("type")
         if k == "IRI":
-            return v[1:-1]
+            return self._iri(v)
         if k == "PNAME":
             return self._pname(v)
         if k == "WORD" and not self.expand:
@@ -245,7 +269,7 @@ class _TurtleParser:
             return
         self.next()
         if k == "IRI":
-            self.triples.append((subj, pred, v[1:-1], None, False))
+            self.triples.append((subj, pred, self._iri(v), None, False))
         elif k == "PNAME":
             self.triples.append((subj, pred, self._pname(v), None, False))
         elif k == "BLANK":

@@ -103,10 +103,10 @@ def test_parse_is_deterministic_and_doc_scoped():
 def test_parse_errors():
     with pytest.raises(SyntaxError, match="undeclared prefix"):
         parse_turtle("nope:x a nope:Y .")
-    with pytest.raises(SyntaxError, match="BASE|@base"):
-        parse_turtle("@base <http://x/> .")
     with pytest.raises(SyntaxError):
         parse_turtle("po:x po:y")  # missing final dot
+    with pytest.raises(SyntaxError, match="bad escape"):
+        parse_turtle('@prefix po: <http://x/> . po:a po:b "bad \\q esc" .')
 
 
 def test_sink_round_trip(spark, tmp_path):
@@ -175,3 +175,44 @@ def test_tbox_from_triples_ancestors():
     assert anc == {PO + "B": 1, PO + "A": 2}
     assert tb.prop_domain[PO + "p"] == PO + "C"
     assert tb.prop_range[PO + "p"] == PO + "A"
+
+
+def test_base_and_relative_iris():
+    ttl = """
+    @base <http://example.net/onto/doc.owl> .
+    @prefix po: <http://example.org/po#> .
+    <#Thing> po:note "x" ; po:next <other> .
+    """
+    trips = parse_turtle(ttl)
+    assert ("http://example.net/onto/doc.owl#Thing", PO + "note", "x", "xsd:string", True) in trips
+    assert ("http://example.net/onto/doc.owl#Thing", PO + "next",
+            "http://example.net/onto/other", None, False) in trips
+    with pytest.raises(SyntaxError, match="without @base"):
+        parse_turtle("<#X> <#p> <#Y> .")
+
+
+def test_reference_mapping_ttl_parses_verbatim():
+    """The one real Turtle document in the reference tree (RML mapping,
+    temp/rml/mapping.ttl): @base + relative <#...> IRIs, nested blank
+    property lists, long-string SQL literal, dangling semicolons. Parsed
+    without an RDF library; structure spot-checked."""
+    import os
+
+    path = ("/root/reference/KnowledgeGraphsJava/src/main/java/org/example/"
+            "temp/rml/mapping.ttl")
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    with open(path) as f:
+        trips = parse_turtle(f.read())
+    rr = "http://www.w3.org/ns/r2rml#"
+    rml = "http://semweb.mmlab.be/ns/rml#"
+    base = "http://www.example.net/ontologies/test_efs.owl/"
+    maps = [s for (s, p, o, *_ ) in trips
+            if p == "http://www.w3.org/1999/02/22-rdf-syntax-ns#type" and o == rr + "TriplesMap"]
+    assert maps == [base + "#ProductCategoryMapping"]
+    q = [o for (s, p, o, dt, lit) in trips if p == rml + "query"]
+    assert q == ["SELECT * FROM payment;"]
+    # the logical source is a blank node carrying the SQL bits
+    src = next(o for (s, p, o, *_ ) in trips if p == rml + "logicalSource")
+    assert src.startswith("_:")
+    assert (src, rr + "sqlVersion", rr + "SQL2008", None, False) in trips
