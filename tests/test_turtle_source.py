@@ -216,3 +216,20 @@ def test_reference_mapping_ttl_parses_verbatim():
     src = next(o for (s, p, o, *_ ) in trips if p == rml + "logicalSource")
     assert src.startswith("_:")
     assert (src, rr + "sqlVersion", rr + "SQL2008", None, False) in trips
+
+
+def test_literal_escape_roundtrip_property():
+    """Any text survives sink-style escaping → tokenizer → _unescape.
+    The escape twin mirrors sinks/turtle.py _escape exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(min_size=0, max_size=60))
+    def check(s):
+        esc = (s.replace("\\", "\\\\").replace('"', '\\"')
+                .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t"))
+        ttl = f'@prefix po: <http://x#> .\npo:a po:b "{esc}" .'
+        assert parse_turtle(ttl) == [("http://x#a", "http://x#b", s, "xsd:string", True)]
+
+    check()
