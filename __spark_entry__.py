@@ -289,6 +289,55 @@ FROM turns WHERE role IS NOT NULL GROUP BY role
 """.strip()
 
 
+def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S13 + Turtle SOURCE through the oracle gate: serialize a
+    nation-derived triple set with the distributed Turtle sink
+    (InsertDataBase.java:226-260 is the reference's writer), parse it
+    back with the engine's own Turtle parser (the reference reads these
+    files through rdflib/Jena — extractBertMapMappings.py:54-56), and
+    return the round-tripped rows. The oracle derives the same triples
+    relationally — if escaping, literal typing, or statement layout
+    drifted in either direction, the value hash breaks."""
+    import tempfile
+
+    from knowledgegraphs_spark.sinks.turtle import write_turtle
+    from knowledgegraphs_spark.sources.turtle_source import read_turtle
+
+    nation = _t(spark, sf_dir, "nation")
+    triples = nation.select(
+        F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("has_name").alias("pred"),
+        F.col("n_name").alias("obj"),
+        F.lit("xsd:string").alias("obj_dtype"),
+        F.lit(True).alias("is_literal"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string")).alias("subj"),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("kg:Nation").alias("obj"),
+            F.lit(None).cast("string").alias("obj_dtype"),
+            F.lit(False).alias("is_literal"),
+        )
+    )
+    path = tempfile.gettempdir() + "/kg_s12_roundtrip_ttl"
+    write_turtle(triples, path)
+    return read_turtle(spark, path, expand_prefixes=False).select(
+        "subj", "pred", "obj", "obj_dtype", "is_literal"
+    )
+
+
+_S12_SQL = """
+SELECT 'kg:Nation_' || cast(n_nationkey AS varchar) AS subj,
+       'has_name' AS pred, n_name AS obj,
+       'xsd:string' AS obj_dtype, true AS is_literal
+FROM nation
+UNION ALL
+SELECT 'kg:Nation_' || cast(n_nationkey AS varchar), 'rdf:type', 'kg:Nation',
+       NULL, false
+FROM nation
+""".strip()
+
+
 def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (mentions → blocked matching → iterative CC →
     triples), value-checked against :func:`_kg_full_sql` — the iterative
@@ -2313,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g9_entity_comention": q_entity_comention,
         "g10_sparql_optional_filter": q_sparql_optional_filter,
         "g11_sparql_aggregate": q_sparql_aggregate,
+        "s12_turtle_roundtrip": q_turtle_roundtrip,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2385,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "g9_entity_comention": _comention_sql(),
         "g10_sparql_optional_filter": _G10_SQL,
         "g11_sparql_aggregate": _G11_SQL,
+        "s12_turtle_roundtrip": _S12_SQL,
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,
