@@ -289,6 +289,70 @@ FROM turns WHERE role IS NOT NULL GROUP BY role
 """.strip()
 
 
+def q_entity_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G12 (engine extension): PageRank over the conversation↔entity
+    graph of the FULL build — the entity-importance signal a
+    training-data pipeline weighs sampling by. Bipartite edges in both
+    directions (stochastic by construction, no dangling mass), 10 fixed
+    power iterations, ranks rounded to 6 decimals on both engines. The
+    oracle unrolls the same 10 iterations as chained CTEs over the
+    twin-computed canonical map — an exact relational twin of an
+    iterative distributed computation."""
+    from knowledgegraphs_spark.operators.bgp import match_bgp
+    from knowledgegraphs_spark.operators.graph_analytics import pagerank
+
+    triples = q_kg_triples_full(spark, sf_dir).localCheckpoint(eager=True)
+    ce = (
+        match_bgp(
+            triples,
+            [
+                ("?t", "has_mention", "?m"),
+                ("?m", "p_Mention_Entity", "?e"),
+                ("?t", "p_Turn_Conversation", "?c"),
+            ],
+        )
+        .select("e", "c")
+        .distinct()
+    )
+    edges = ce.select(F.col("c").alias("src"), F.col("e").alias("dst")).unionByName(
+        ce.select(F.col("e").alias("src"), F.col("c").alias("dst"))
+    )
+    ranks = pagerank(edges, damping=0.85, iters=10)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql(iters: int = 10, damping: float = 0.85) -> str:
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+  SELECT n.node,
+         ({1.0 - damping:.2f} / (SELECT n FROM nn)) + {damping:.2f} * coalesce(s.s, 0) AS rank
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s USING (node)
+)"""
+        )
+        prev = f"r{i}"
+    chain = ", ".join(steps)
+    return f"""
+{_kg_full_ctes().strip()}, ce AS (
+  SELECT DISTINCT 'kg:Entity_' || ename AS e, 'kg:Conversation_1_' || conv_id AS c FROM mrows
+), edges AS (
+  SELECT c AS src, e AS dst FROM ce UNION ALL SELECT e AS src, c AS dst FROM ce
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst AS node FROM edges
+), deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT cast(count(*) AS double) AS n FROM nodes),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+{chain}
+SELECT node, round(rank, 6) AS rank FROM {prev}
+""".strip()
+
+
 def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S13 + Turtle SOURCE through the oracle gate: serialize a
     nation-derived triple set with the distributed Turtle sink
@@ -2363,6 +2427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_sparql_optional_filter": q_sparql_optional_filter,
         "g11_sparql_aggregate": q_sparql_aggregate,
         "s12_turtle_roundtrip": q_turtle_roundtrip,
+        "g12_entity_pagerank": q_entity_pagerank,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2436,6 +2501,7 @@ def oracle_sql() -> dict[str, str]:
         "g10_sparql_optional_filter": _G10_SQL,
         "g11_sparql_aggregate": _G11_SQL,
         "s12_turtle_roundtrip": _S12_SQL,
+        "g12_entity_pagerank": _pagerank_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,
