@@ -55,8 +55,8 @@ _TOKEN_RE = re.compile(
     | (?P<STRING>'(?:[^'\\\n]|\\.)*'|"(?:[^"\\\n]|\\.)*")
     | (?P<AT>@[A-Za-z][A-Za-z0-9\-]*)
     | (?P<NUMBER>[+-]?(?:\d+\.\d+[eE][+-]?\d+|\.\d+[eE][+-]?\d+|\d+[eE][+-]?\d+|\d+\.\d+|\.\d+|\d+))
-    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-:%]*|:[A-Za-z0-9_.\-:%]*)
     | (?P<BLANK>_:[A-Za-z0-9_.\-]+)
+    | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-:%]*|:[A-Za-z0-9_.\-:%]*)
     | (?P<HATHAT>\^\^)
     | (?P<WORD>[A-Za-z][A-Za-z0-9_]*)
     | (?P<OP>[.;,\[\]()])

@@ -233,3 +233,21 @@ def test_literal_escape_roundtrip_property():
         assert parse_turtle(ttl) == [("http://x#a", "http://x#b", s, "xsd:string", True)]
 
     check()
+
+
+def test_ntriples_documents_parse_as_is():
+    """N-Triples is the line-oriented Turtle subset (the canonical dump
+    format of triple stores, incl. GraphDB exports) — the parser takes it
+    with no separate code path."""
+    nt = (
+        '<http://x/a> <http://x/p> <http://x/b> .\n'
+        '<http://x/a> <http://www.w3.org/2000/01/rdf-schema#label> "A label" .\n'
+        '<http://x/b> <http://x/n> "3.5"^^<http://www.w3.org/2001/XMLSchema#decimal> .\n'
+        '_:g1 <http://x/p> _:g2 .\n'
+    )
+    trips = parse_turtle(nt, doc_id="nt")
+    assert ("http://x/a", "http://x/p", "http://x/b", None, False) in trips
+    assert ("http://x/a", "http://www.w3.org/2000/01/rdf-schema#label",
+            "A label", "xsd:string", True) in trips
+    assert ("http://x/b", "http://x/n", "3.5", "xsd:decimal", True) in trips
+    assert ("_:nt_g1", "http://x/p", "_:nt_g2", None, False) in trips
