@@ -158,7 +158,11 @@ def main() -> None:
         # with our own decaying work and inflates the flagship number.
         _warmup(spark, tmp)
         gate_load("e2e")
-        e2e_secs, n_turns = _pipeline_seconds(spark, input_path)
+        # the headline gets extra reps: the 1-min loadavg the gate reads is
+        # a LAGGING indicator right after a heavy phase (measured same-commit
+        # e2e 7.3 s vs 12.4 s, both "clean" at loadavg ~7) — more samples let
+        # best-of shed the residual-load reps
+        e2e_secs, n_turns = _pipeline_seconds(spark, input_path, reps=max(REPS, 5))
         results["kg_pipeline_e2e"] = e2e_secs
         tps_full = round(n_turns / e2e_secs, 1)
 
