@@ -23,9 +23,12 @@ argument: constant predicates are dictionary-pruned parquet filters, the
 joins are hash joins, subject-subject joins are co-located under the
 ``write_triples`` subj-bucketing); OPTIONAL is a left outer join, UNION a
 ``unionByName(allowMissingColumns)``, FILTER a Catalyst expression over
-the bound columns, (NOT) EXISTS a left-semi/anti join, and property-path
-closure (``p+``) reuses the pointer-doubling ``ancestor_closure_df`` —
-⌈log₂ D⌉ self-joins, not D frontier rounds.
+the bound columns, (NOT) EXISTS a left-semi/anti join, VALUES an inline
+relation joined on its shared variables (turning the reference's
+per-resource query LOOP — one ``onto.query()``/``runQuery()`` per schema
+element — into a single set-based query), and property-path closure
+(``p+``) reuses the pointer-doubling ``ancestor_closure_df`` — ⌈log₂ D⌉
+self-joins, not D frontier rounds.
 
 Scope (documented, not silently wrong):
 - Terms are matched as the strings the triple table stores. ``<iri>``
@@ -155,6 +158,12 @@ class OptionalPat:
 @dataclass
 class UnionPat:
     branches: list  # of Group
+
+
+@dataclass
+class InlineData:  # VALUES
+    var_names: list
+    rows: list  # of tuples of (str | None)
 
 
 @dataclass
@@ -332,6 +341,9 @@ class _Parser:
             if self.at_word("FILTER"):
                 self.next()
                 g.elements.append(self._filter())
+            elif self.at_word("VALUES"):
+                self.next()
+                g.elements.append(self._values())
             elif self.at_word("OPTIONAL"):
                 self.next()
                 g.elements.append(OptionalPat(self._group()))
@@ -345,6 +357,42 @@ class _Parser:
                 self.next()
             else:
                 self._triples_block(g)
+
+    def _values(self) -> InlineData:
+        # VALUES ?v { t1 t2 ... } | VALUES (?a ?b) { (t1 t2) (t3 t4) ... }
+        # UNDEF → NULL binding. Inline data joins on shared variables —
+        # this is what collapses the reference's per-resource query LOOP
+        # (one onto.query() per element) into a single set-based query.
+        def cell():
+            k, v = self.peek()
+            if k == "WORD" and v.upper() == "UNDEF":
+                self.next()
+                return None
+            self.next()
+            return self._term_token(k, v).text
+
+        if self.peek()[0] == "VAR":
+            names = [self.next()[1][1:]]
+            self.eat_op("{")
+            rows = []
+            while self.peek()[1] != "}":
+                rows.append((cell(),))
+            self.next()
+            return InlineData(names, rows)
+        self.eat_op("(")
+        names = []
+        while self.peek()[0] == "VAR":
+            names.append(self.next()[1][1:])
+        self.eat_op(")")
+        self.eat_op("{")
+        rows = []
+        while self.peek()[1] != "}":
+            self.eat_op("(")
+            row = tuple(cell() for _ in names)
+            self.eat_op(")")
+            rows.append(row)
+        self.next()
+        return InlineData(names, rows)
 
     def _filter(self):
         # (NOT) EXISTS { ... } | ( expression )
@@ -709,6 +757,10 @@ def _eval_group(triples: DataFrame, group: Group) -> DataFrame:
                 if not shared:
                     raise ValueError("SPARQL: OPTIONAL sharing no variables is unsupported")
                 acc = acc.join(right, on=shared, how="left")
+        elif isinstance(el, InlineData):
+            schema = ", ".join(f"{n} string" for n in el.var_names)
+            inline = triples.sparkSession.createDataFrame(el.rows, schema)
+            acc = inline if acc is None else _join(acc, inline)
         elif isinstance(el, (FilterExpr, FilterExists)):
             filters.append(el)
         else:

@@ -377,6 +377,36 @@ def test_sparql_text_agrees_with_match_bgp_on_random_patterns(spark):
         assert got_text == got_api, (pats, text)
 
 
+def test_values_collapses_per_resource_loop(tbox):
+    """The reference fetches annotations in a PER-RESOURCE loop (one
+    onto.query() per schema element — extractBertMapMappings.py:108-127,
+    PIIidentification.java:276). VALUES binds all resources in ONE
+    query: same bindings, one job, no driver round-trips."""
+    q = f"""{SW_PREFIXES}
+        SELECT ?res ?annot WHERE {{
+            VALUES ?res {{ <{PO}hasName> <{PO}tag_00100010> }}
+            ?res rdfs:label ?annot .
+        }}"""
+    got = rows(sparql_select(tbox, q))
+    assert got == [
+        (PO + "hasName", "has name"),
+        (PO + "tag_00100010", "(0010,0010)"),
+    ]
+
+
+def test_values_multi_var_with_undef(tbox):
+    q = f"""{SW_PREFIXES}
+        SELECT ?cls ?lbl ?tag WHERE {{
+            VALUES (?cls ?tag) {{ (PO:Person 'p-tag') (PO:Address UNDEF) }}
+            ?cls rdfs:label ?lbl .
+        }}"""
+    got = rows(sparql_select(tbox, q))
+    assert got == [
+        (PO + "Address", "Address", None),
+        (PO + "Person", "Person", "p-tag"),
+    ]
+
+
 def test_join_ordering_puts_selective_patterns_first():
     """Greedy BGP ordering: constant-subject point lookups lead, pred-only
     patterns trail, and every later pattern connects to the bound set —
