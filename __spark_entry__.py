@@ -1714,6 +1714,56 @@ SELECT node, anc, depth FROM closure
 """.strip()
 
 
+# verbatim SPARQL with a zero-or-more path + BIND — `rdfs:subClassOf*` is
+# the first idiom a SPARQL user types (the reference's own ancestor walk,
+# util/Ontology.java:174-209, IS this closure); the engine compiles '*' to
+# pointer-doubling closure ∪ node-universe identity and BIND to a column
+_G13_SPARQL = """
+    SELECT ?node ?anc ?len WHERE {
+        ?node kg:subClassOf* ?anc .
+        BIND (STRLEN(?anc) AS ?len)
+    }
+"""
+
+
+def q_sparql_star_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 (engine extension): SPARQL zero-or-more property path compiled
+    from query text — closure via pointer doubling (⌈log₂ D⌉ self-joins)
+    unioned with the zero-length identity over the node universe, plus a
+    sequential BIND. Oracle: recursive CTE ∪ node list in DuckDB."""
+    from knowledgegraphs_spark.operators.sparql import sparql_select
+
+    triples = (
+        _tree_edges(spark, sf_dir)
+        .select(
+            F.col("child").alias("subj"),
+            F.lit("kg:subClassOf").alias("pred"),
+            F.col("parent").alias("obj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return sparql_select(triples, _G13_SPARQL)
+
+
+# NOTE: inside WITH RECURSIVE, DuckDB 1.0 gives ANY union-bearing CTE
+# recursive-union (append) semantics even when it doesn't self-reference —
+# UNION ALL + explicit DISTINCT wrappers keep the set semantics honest
+_G13_SQL = f"""
+WITH RECURSIVE {_CLOSURE_CTE},
+nodes AS (
+  SELECT DISTINCT n FROM (
+    SELECT child AS n FROM edges UNION ALL SELECT parent FROM edges
+  )
+),
+star AS (
+  SELECT DISTINCT node, anc FROM (
+    SELECT node, anc FROM closure UNION ALL SELECT n, n AS anc FROM nodes
+  )
+)
+SELECT node, anc, cast(length(anc) AS int) AS len FROM star
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
@@ -2428,6 +2478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_sparql_aggregate": q_sparql_aggregate,
         "s12_turtle_roundtrip": q_turtle_roundtrip,
         "g12_entity_pagerank": q_entity_pagerank,
+        "g13_sparql_star_path": q_sparql_star_path,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2502,6 +2553,7 @@ def oracle_sql() -> dict[str, str]:
         "g11_sparql_aggregate": _G11_SQL,
         "s12_turtle_roundtrip": _S12_SQL,
         "g12_entity_pagerank": _pagerank_sql(),
+        "g13_sparql_star_path": _G13_SQL,
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,

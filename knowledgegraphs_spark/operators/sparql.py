@@ -38,13 +38,26 @@ Scope (documented, not silently wrong):
 - Bag semantics; ``DISTINCT`` is explicit. Unbound (NULL) join keys from
   UNION branches with disjoint variables follow SQL NULL-join semantics,
   not SPARQL unbound-compatibility; keep branch variables aligned (the
-  reference's queries all do).
-- Path modifiers: ``+`` (closure), ``/`` (sequence), ``|`` (alternative),
-  ``^`` (inverse). ``*`` and ``?`` need the node universe for zero-length
-  paths and raise.
+  reference's queries all do). ``VALUES`` rows with ``UNDEF`` in a
+  variable that any OTHER pattern in the group also binds raise up front
+  — a NULL join key would silently drop the row where SPARQL treats
+  UNDEF as a wildcard.
+- Path modifiers: ``+`` (closure), ``*`` (zero-or-more), ``?``
+  (zero-or-one), ``/`` (sequence), ``|`` (alternative), ``^`` (inverse).
+  Zero-length paths bind both ends to the same NODE OF THE GRAPH
+  (distinct subjects ∪ objects of the store — one extra scan); a constant
+  endpoint that appears nowhere in the graph therefore yields no
+  zero-length row, a documented narrowing of the spec's any-term rule
+  that never matters when the endpoint is also bound by another pattern.
+- ``BIND (expr AS ?v)`` binds sequentially (sees variables bound so far
+  in the group). Expressions support ``+ - * /`` arithmetic (numeric
+  cast), the comparison/boolean operators, and the builtins below.
 - Aggregates: COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM / AVG /
   MIN / MAX with GROUP BY; SUM/AVG cast the string-typed object column to
   double (the store keeps literal reprs — ``triples.py:literal_repr``).
+  The projection emits the declared SELECT items in their declared order;
+  GROUP BY variables the query didn't project are dropped after the
+  aggregation, per the spec.
 """
 
 from __future__ import annotations
@@ -71,12 +84,10 @@ _TOKEN_RE = re.compile(
     | (?P<NUMBER>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<PNAME>[A-Za-z_][A-Za-z0-9_.\-]*:[A-Za-z0-9_.\-]*)
     | (?P<WORD>[A-Za-z_][A-Za-z0-9_]*)
-    | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/|^+=<>!])
+    | (?P<OP>&&|\|\||!=|<=|>=|[{}()\[\].,;*/|^+=<>!?-])
     """,
     re.VERBOSE,
 )
-
-_STR_ESC = re.compile(r"\\(.)")
 
 
 def _tokenize(text: str) -> list[tuple[str, str]]:
@@ -134,9 +145,25 @@ class PathPlus:
     inner: object
 
 
+@dataclass(frozen=True)
+class PathStar:  # zero-or-more: closure ∪ node-universe identity
+    inner: object
+
+
+@dataclass(frozen=True)
+class PathOpt:  # zero-or-one: single step ∪ node-universe identity
+    inner: object
+
+
 @dataclass
 class Bgp:
     triples: list  # of (subj, path, obj)
+
+
+@dataclass
+class BindExpr:
+    expr: object
+    name: str  # variable bound, without '?'
 
 
 @dataclass
@@ -341,6 +368,16 @@ class _Parser:
             if self.at_word("FILTER"):
                 self.next()
                 g.elements.append(self._filter())
+            elif self.at_word("BIND"):
+                self.next()
+                self.eat_op("(")
+                e = self._expr()
+                self.eat_word("AS")
+                k2, v2 = self.next()
+                if k2 != "VAR":
+                    raise SyntaxError("SPARQL: BIND must bind a ?variable")
+                self.eat_op(")")
+                g.elements.append(BindExpr(e, v2[1:]))
             elif self.at_word("VALUES"):
                 self.next()
                 g.elements.append(self._values())
@@ -461,7 +498,13 @@ class _Parser:
         if k == "PNAME":
             return Term(self._pname(v))
         if k == "STRING":
-            return Term(_STR_ESC.sub(r"\1", v[1:-1]))
+            # the Turtle escape map, shared with the store's own parser:
+            # \n/\t/\r/\uXXXX become the control/uni chars the triple table
+            # actually stores, so escaped literals in query text match
+            # (ADVICE r3: the old regex turned '\n' into the letter 'n')
+            from ..sources.turtle_source import _unescape
+
+            return Term(_unescape(v[1:-1]))
         if k == "NUMBER":
             return Term(v)
         if k == "WORD" and v == "a":
@@ -502,15 +545,16 @@ class _Parser:
             self.next()
             t = self._term_token(k, v)
             p = PathIri(t.text)
-        mod = self.peek()[1]
-        if mod == "+":
+        mk, mod = self.peek()
+        if mod == "+" and mk == "OP":
             self.next()
             p = PathPlus(p)
-        elif mod in ("*", "?") and self.peek()[0] == "OP":
-            raise SyntaxError(
-                f"SPARQL: path modifier {mod!r} needs zero-length paths (node universe); "
-                "only '+', '/', '|', '^' are supported"
-            )
+        elif mod == "*" and mk == "OP":
+            self.next()
+            p = PathStar(p)
+        elif mod == "?" and mk == "OP":
+            self.next()
+            p = PathOpt(p)
         return PathInv(p) if inv else p
 
     # -- expressions ----------------------------------------------------------
@@ -535,11 +579,11 @@ class _Parser:
         return left
 
     def _rel_expr(self):
-        left = self._unary_expr()
+        left = self._add_expr()
         k, v = self.peek()
         if v in ("=", "!=", "<", ">", "<=", ">="):
             self.next()
-            return (v, left, self._unary_expr())
+            return (v, left, self._add_expr())
         if k == "WORD" and v.upper() == "IN":
             self.next()
             return ("in", left, self._expr_list())
@@ -548,6 +592,33 @@ class _Parser:
             self.eat_word("IN")
             return ("not in", left, self._expr_list())
         return left
+
+    def _add_expr(self):
+        left = self._mul_expr()
+        while True:
+            k, v = self.peek()
+            if k == "OP" and v in ("+", "-"):
+                self.next()
+                op = "num+" if v == "+" else "num-"
+                left = (op, left, self._mul_expr())
+            elif k == "NUMBER" and v[0] in "+-":
+                # '?x -3' lexes the sign into the number token; fold it back
+                # into an additive expression over the signed literal
+                self.next()
+                left = ("num+", left, Term(v))
+            else:
+                return left
+
+    def _mul_expr(self):
+        left = self._unary_expr()
+        while True:
+            k, v = self.peek()
+            if k == "OP" and v in ("*", "/"):
+                self.next()
+                op = "num*" if v == "*" else "num/"
+                left = (op, left, self._unary_expr())
+            else:
+                return left
 
     def _expr_list(self) -> list:
         self.eat_op("(")
@@ -594,6 +665,7 @@ _BUILTINS = {
     "STRSTARTS": (2,),
     "STRENDS": (2,),
     "REGEX": (2, 3),
+    "CONCAT": tuple(range(1, 9)),
 }
 
 
@@ -639,7 +711,27 @@ def _path_edges(triples: DataFrame, path) -> DataFrame:
             F.col("s").alias("child"), F.col("o").alias("parent")
         )
         return ancestor_closure_df(e).select(F.col("node").alias("s"), F.col("anc").alias("o"))
+    if isinstance(path, PathStar):
+        # zero-or-more = '+' closure ∪ identity over the node universe;
+        # distinct because a cyclic closure already contains (n, n) pairs
+        plus = _path_edges(triples, PathPlus(path.inner))
+        return plus.unionByName(_node_identity(triples)).dropDuplicates()
+    if isinstance(path, PathOpt):
+        one = _path_edges(triples, path.inner)
+        return one.unionByName(_node_identity(triples)).dropDuplicates()
     raise TypeError(f"unknown path {path!r}")
+
+
+def _node_identity(triples: DataFrame) -> DataFrame:
+    """(n, n) for every node of the graph — the zero-length path relation.
+    One extra scan of the store (subjects ∪ objects, distinct); the
+    distinct is a vocabulary-scale shuffle, not an edge-scale one."""
+    nodes = (
+        triples.select(F.col("subj").alias("s"))
+        .unionByName(triples.select(F.col("obj").alias("s")))
+        .distinct()
+    )
+    return nodes.select("s", F.col("s").alias("o"))
 
 
 def _pattern_selectivity(pat) -> tuple:
@@ -733,7 +825,53 @@ def _join(left: DataFrame, right: DataFrame) -> DataFrame:
     return kept if kept.columns else out.select(F.lit(1).alias("__exists"))
 
 
+def _bound_vars(el) -> set:
+    """Variables an element can bind (filters bind nothing)."""
+    if isinstance(el, Bgp):
+        return {t.name for pat in el.triples for t in pat if isinstance(t, Var)}
+    if isinstance(el, Group):
+        out: set = set()
+        for e in el.elements:
+            out |= _bound_vars(e)
+        return out
+    if isinstance(el, UnionPat):
+        out = set()
+        for b in el.branches:
+            out |= _bound_vars(b)
+        return out
+    if isinstance(el, OptionalPat):
+        return _bound_vars(el.group)
+    if isinstance(el, InlineData):
+        return set(el.var_names)
+    if isinstance(el, BindExpr):
+        return {el.name}
+    return set()
+
+
 def _eval_group(triples: DataFrame, group: Group) -> DataFrame:
+    # VALUES UNDEF on a variable any OTHER element also binds would hit
+    # SQL NULL-join semantics (row silently dropped) where SPARQL treats
+    # UNDEF as a wildcard — refuse up front (ADVICE r3)
+    for i, el in enumerate(group.elements):
+        if isinstance(el, InlineData):
+            undef = {
+                el.var_names[j]
+                for row in el.rows
+                for j in range(len(row))
+                if row[j] is None
+            }
+            if undef:
+                others: set = set()
+                for k, other in enumerate(group.elements):
+                    if k != i:
+                        others |= _bound_vars(other)
+                clash = sorted(undef & others)
+                if clash:
+                    raise ValueError(
+                        f"SPARQL: VALUES UNDEF on shared variable(s) {clash} is "
+                        "unsupported — SQL NULL-join semantics would drop the row "
+                        "where SPARQL treats UNDEF as a wildcard"
+                    )
     acc: DataFrame | None = None
     filters: list = []
     for el in group.elements:
@@ -761,6 +899,16 @@ def _eval_group(triples: DataFrame, group: Group) -> DataFrame:
             schema = ", ".join(f"{n} string" for n in el.var_names)
             inline = triples.sparkSession.createDataFrame(el.rows, schema)
             acc = inline if acc is None else _join(acc, inline)
+        elif isinstance(el, BindExpr):
+            # sequential scope: BIND sees the variables bound so far
+            if acc is None:
+                acc = triples.sparkSession.range(1).select(
+                    _compile_expr(el.expr, None).alias(el.name)
+                )
+                continue
+            if el.name in acc.columns:
+                raise ValueError(f"SPARQL: BIND re-binds ?{el.name}")
+            acc = acc.withColumn(el.name, _compile_expr(el.expr, acc))
         elif isinstance(el, (FilterExpr, FilterExists)):
             filters.append(el)
         else:
@@ -783,6 +931,10 @@ def _is_numeric_literal(e) -> bool:
     return isinstance(e, Term) and re.fullmatch(r"[+-]?\d+(\.\d+)?([eE][+-]?\d+)?", e.text)
 
 
+def _is_arith(e) -> bool:
+    return isinstance(e, tuple) and e[0] in ("num+", "num-", "num*", "num/")
+
+
 def _compile_operand(e, df: DataFrame, numeric: bool = False) -> Column:
     if isinstance(e, Var):
         c = F.col(e.name)
@@ -802,13 +954,17 @@ def _compile_expr(e, df: DataFrame) -> Column:
     if op == "!":
         return ~_compile_expr(e[1], df)
     if op in ("=", "!=", "<", ">", "<=", ">="):
-        numeric = _is_numeric_literal(e[1]) or _is_numeric_literal(e[2])
+        numeric = _is_numeric_literal(e[1]) or _is_numeric_literal(e[2]) or _is_arith(e[1]) or _is_arith(e[2])
         l = _compile_operand(e[1], df, numeric)
         r = _compile_operand(e[2], df, numeric)
         return {
             "=": l == r, "!=": l != r, "<": l < r,
             ">": l > r, "<=": l <= r, ">=": l >= r,
         }[op]
+    if op in ("num+", "num-", "num*", "num/"):
+        l = _compile_operand(e[1], df, numeric=True)
+        r = _compile_operand(e[2], df, numeric=True)
+        return {"num+": l + r, "num-": l - r, "num*": l * r, "num/": l / r}[op]
     if op in ("in", "not in"):
         l = _compile_operand(e[1], df)
         vals = [x.text if isinstance(x, Term) else _compile_operand(x, df) for x in e[2]]
@@ -827,6 +983,8 @@ def _compile_expr(e, df: DataFrame) -> Column:
             return F.length(a0)
         if name == "BOUND":
             return a0.isNotNull()
+        if name == "CONCAT":
+            return F.concat(*[_compile_operand(a, df).cast("string") for a in args])
         a1 = _compile_operand(args[1], df)
         if name == "CONTAINS":
             return a0.contains(a1)
@@ -890,7 +1048,11 @@ def sparql_select(triples: DataFrame, query: str | Query) -> DataFrame:
             else:
                 exprs.append(_AGG_BUILDERS[func](col).alias(it.alias))
         df = df.groupBy(*q.group_by).agg(*exprs) if q.group_by else df.agg(*exprs)
-        out_cols = q.group_by + [it.alias for it in aggs]
+        # project the DECLARED SELECT items, in declared order (ADVICE r3:
+        # emitting group_by + aliases returned unprojected group vars and
+        # ignored SELECT-item order); group vars the query didn't project
+        # are dropped after the aggregation, per the spec
+        out_cols = [it.var if it.var else it.alias for it in items]
         df = df.select(*out_cols)
     else:
         if q.group_by:

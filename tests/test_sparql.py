@@ -260,9 +260,113 @@ def test_property_path_sequence_alt_inverse(tbox):
     assert rows(sparql_select(tbox, q_inv)) == [(PO + "livesAt",)]
 
 
-def test_star_modifier_raises(tbox):
-    with pytest.raises(SyntaxError, match="zero-length"):
-        parse_query("SELECT ?x WHERE { ?x p:sub* ?y . }")
+def test_star_modifier_zero_or_more(tbox):
+    # subClassOf* from C3: zero-length (C3 itself) + the full chain —
+    # the reference's own ancestor walk (util/Ontology.java:174-209) is
+    # exactly this closure, and `rdfs:subClassOf*` is the first idiom a
+    # SPARQL user types
+    query = f"""{SW_PREFIXES}
+        SELECT ?anc WHERE {{ PO:C3 rdfs:subClassOf* ?anc . }}"""
+    assert rows(sparql_select(tbox, query)) == [
+        (PO + "C1",),
+        (PO + "C2",),
+        (PO + "C3",),
+        (PO + "TableClass",),
+    ]
+
+
+def test_star_unbound_subject_includes_identity(tbox):
+    # ?x sub* C2 — one-step-up closure plus the zero-length binding of C2
+    query = f"""{SW_PREFIXES}
+        SELECT ?x WHERE {{ ?x rdfs:subClassOf* PO:C2 . }}"""
+    assert rows(sparql_select(tbox, query)) == [(PO + "C2",), (PO + "C3",)]
+
+
+def test_opt_modifier_zero_or_one(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?anc WHERE {{ PO:C3 rdfs:subClassOf? ?anc . }}"""
+    assert rows(sparql_select(tbox, query)) == [(PO + "C2",), (PO + "C3",)]
+
+
+def test_bind_strlen_and_arithmetic(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?lbl ?n WHERE {{
+            PO:Person rdfs:label ?lbl .
+            BIND (STRLEN(?lbl) * 2 + 1 AS ?n)
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [("Person", 13.0)]
+
+
+def test_bind_concat(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?tagged WHERE {{
+            PO:Person rdfs:label ?lbl .
+            BIND (CONCAT('cls:', ?lbl) AS ?tagged)
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [("cls:Person",)]
+
+
+def test_bind_rebind_raises(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?lbl WHERE {{
+            PO:Person rdfs:label ?lbl .
+            BIND (UCASE(?lbl) AS ?lbl)
+        }}"""
+    with pytest.raises(ValueError, match="re-binds"):
+        sparql_select(tbox, query).collect()
+
+
+def test_filter_arithmetic_comparison(tbox):
+    # labels longer than 6 chars: 'Address' (7) but not 'Person' (6)
+    query = f"""{SW_PREFIXES}
+        SELECT ?lbl WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass ; rdfs:label ?lbl .
+            FILTER (STRLEN(?lbl) - 1 >= 6)
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [("Address",)]
+
+
+def test_values_undef_on_shared_variable_raises(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls ?lbl WHERE {{
+            ?cls rdfs:label ?lbl .
+            VALUES (?cls ?lbl) {{ (PO:Person UNDEF) }}
+        }}"""
+    with pytest.raises(ValueError, match="UNDEF"):
+        sparql_select(tbox, query).collect()
+
+
+def test_string_escape_matches_control_chars(spark):
+    # the store holds a real newline; the query writes it as '\n' — the
+    # escape map must produce the control char, not the letter 'n'
+    df = spark.createDataFrame(
+        [("s1", "note", "line1\nline2"), ("s2", "note", "line1nline2")],
+        "subj string, pred string, obj string",
+    )
+    query = 'SELECT ?s WHERE { ?s note "line1\\nline2" . }'
+    assert rows(sparql_select(df, query)) == [("s1",)]
+
+
+def test_aggregate_projection_declared_order_only(tbox):
+    # SELECT declares the aggregate FIRST and omits nothing; column order
+    # must follow the declaration, not GROUP BY order
+    query = f"""{SW_PREFIXES}
+        SELECT (COUNT(?sup) AS ?n) ?cls WHERE {{
+            ?cls rdfs:subClassOf ?sup .
+        }} GROUP BY ?cls ORDER BY DESC(?n) ?cls LIMIT 1"""
+    got = sparql_select(tbox, query)
+    assert got.columns == ["n", "cls"]
+    assert [tuple(r) for r in got.collect()] == [(3, PO + "Person")]
+
+
+def test_aggregate_unprojected_group_var_dropped(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT (COUNT(*) AS ?n) WHERE {{
+            ?cls rdfs:subClassOf ?sup .
+        }} GROUP BY ?cls"""
+    got = sparql_select(tbox, query)
+    assert got.columns == ["n"]
+    assert sorted(r.n for r in got.collect()) == [1, 1, 1, 1, 2, 2, 3]
 
 
 def test_aggregates_group_by_order_limit(tbox):
