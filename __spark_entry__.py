@@ -1106,6 +1106,114 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
 """.strip()
 
 
+def _lloyd_twin_centroids(
+    sf_dir: str, n_centroids: int = 8, n_iters: int = 3
+) -> list[tuple[int, list[float]]]:
+    """Sequential pure-numpy twin of ``train_ivf_centroids`` — the
+    independent derivation the s3b oracle inlines as VALUES (the d2b
+    build-time-twin pattern). Same contract as the distributed trainer:
+    init = n lowest-id vectors unit-normalized, assignment by round-6
+    cosine argmax (first max = lowest centroid id), update = normalized
+    mean of the assigned unit vectors, empty clusters keep their previous
+    centroid. The trainer combines per-partition partial sums; this twin
+    sums sequentially — agreement (proven in pytest to 1e-9) shows the
+    distributed moments path computes the same k-means."""
+    import numpy as np
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    mat = mat / n
+    cents = mat[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = (mat @ cents.T).round(6).argmax(axis=1)
+        new = cents.copy()
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                new[c] = members.sum(axis=0)
+        nn = np.linalg.norm(new, axis=1, keepdims=True)
+        nn[nn == 0] = 1.0
+        cents = new / nn
+    return [(i, [float(x) for x in cents[i]]) for i in range(n_centroids)]
+
+
+def q_simsearch_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3b: IVF ANN with a Lloyd-trained spherical-k-means quantizer —
+    3 fixed iterations over distributed per-partition moments (one
+    mapInPandas pass per round, k*d doubles combined driver-side), the
+    trained centroids dropped into the SAME literal-centroid zero-shuffle
+    assignment plan the sampled quantizer (s3) uses."""
+    from knowledgegraphs_spark.operators.simsearch import ivf_topk, train_ivf_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=2,
+        centroids=cents,
+    )
+
+
+def _ivf_trained_sql(k: int = 5, n_centroids: int = 8, n_probe: int = 2) -> str:
+    """s3b oracle: the trained centroids come from the sequential numpy
+    twin at oracle-BUILD time, inlined as VALUES; assignment, probing and
+    the exact re-rank are re-derived relationally in DuckDB (the same SQL
+    the s3 oracle proves against the sampled quantizer). Bound to the
+    driver's comparison scale (sf0.01) — override with
+    ``SPARK_GRAFT_ORACLE_SF_DIR`` when comparing at another scale."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _lloyd_twin_centroids(sf_dir, n_centroids=n_centroids, n_iters=3)
+    values = ",\n    ".join(
+        "(" + str(cid) + ", [" + ",".join(repr(v) for v in vec) + "])" for cid, vec in cents
+    )
+    cos = (
+        "round(CASE WHEN sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0"
+        " AND sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0"
+        " THEN list_sum(list_transform(generate_series(1, len({a})),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        " ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH cent(cid, cvec) AS (
+  VALUES
+    {{VALUES}}
+), ca AS (
+  SELECT e.vec_id AS nid, c.cid,
+         {cos.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+), cbest AS (
+  SELECT nid AS neighbor_id, cid FROM (
+    SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS rk FROM ca
+  ) WHERE rk = 1
+), qa AS (
+  SELECT nid AS query_id, cid FROM (
+    SELECT nid, cid, row_number() OVER (PARTITION BY nid ORDER BY ccos DESC, cid) AS rk FROM ca WHERE nid < 20
+  ) WHERE rk <= {n_probe}
+), cands AS (
+  SELECT DISTINCT q.query_id, cb.neighbor_id
+  FROM qa q JOIN cbest cb USING (cid)
+  WHERE q.query_id <> cb.neighbor_id
+), scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {cos.format(a='qe.embedding', b='ne.embedding')} AS cosine
+  FROM cands cd
+  JOIN embeddings qe ON qe.vec_id = cd.query_id
+  JOIN embeddings ne ON ne.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+""".strip().replace("{VALUES}", values)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucket candidates (numpy-vectorized pandas UDF)."""
     from knowledgegraphs_spark.operators.dedup import simhash_candidates
@@ -2494,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s1_simsearch_topk": q_simsearch_topk,
         "s2_simsearch_lsh": q_simsearch_lsh,
         "s3_simsearch_ivf": q_simsearch_ivf,
+        "s3b_simsearch_ivf_trained": q_simsearch_ivf_trained,
         "m1_multimodal_features": q_multimodal_features,
     }
 
@@ -2569,6 +2678,7 @@ def oracle_sql() -> dict[str, str]:
         "s1_simsearch_topk": _SIMSEARCH_SQL,
         "s2_simsearch_lsh": _lsh_sql(),
         "s3_simsearch_ivf": _ivf_sql(),
+        "s3b_simsearch_ivf_trained": _ivf_trained_sql(),
         "m1_multimodal_features": _multimodal_sql(),
         "kg_triples_full": _kg_full_sql(),
     }

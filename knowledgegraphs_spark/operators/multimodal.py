@@ -2,16 +2,23 @@
 
 Image/audio/video travel as ``binary`` columns with a metadata struct; the
 Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow batch
-shape, feature schema) is real and tested. The actual codec work is STUBBED:
-the container ships no image/audio libraries, so ``decode_payload`` raises
-``NotImplementedError`` unless the deterministic fake codec is requested —
-swap ``_fake_decode`` for a PIL/libav call shipped via ``--py-files`` and
-nothing else changes.
+shape, feature schema) is real and tested. Codec coverage:
+
+- **Real, stdlib-decodable formats** go all the way through: uncompressed
+  24/32-bit BMP (``struct`` header parse + numpy pixel stats) and PCM WAV
+  (stdlib ``wave``) decode into the same FEATURE_DIM vector through the
+  production ``mapInPandas`` path — no fake, no external library.
+- Everything else (JPEG/PNG/MP4/...) still raises ``NotImplementedError``
+  unless the deterministic fake codec is requested — swap in a PIL/libav
+  call shipped via ``--py-files`` and nothing else changes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from typing import Iterator
 
 import numpy as np
@@ -77,12 +84,73 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return out
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER) → feature vector:
+    [modality=1, width, height, channels, mean/std per BGR channel,
+    global min/max, 0-pad]. Pure struct + numpy; rows are 4-byte padded,
+    bottom-up when height > 0 (orientation doesn't change the stats)."""
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP compression={compression} bpp={bpp} unsupported")
+    n_ch = bpp // 8
+    h = abs(height)
+    row_bytes = (width * n_ch + 3) & ~3
+    px = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+    px = px.reshape(h, row_bytes)[:, : width * n_ch].reshape(h, width, n_ch)
+    chans = px.reshape(-1, n_ch).astype(np.float64)
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0] = 1.0
+    out[1], out[2], out[3] = float(width), float(h), float(n_ch)
+    means, stds = chans.mean(axis=0), chans.std(axis=0)
+    out[4 : 4 + min(n_ch, 4)] = means[:4]
+    out[8 : 8 + min(n_ch, 4)] = stds[:4]
+    out[12], out[13] = float(chans.min()), float(chans.max())
+    return out
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV (stdlib ``wave``) → feature vector: [modality=2, channels,
+    framerate, n_frames, duration_s, mean, std, rms, min, max, zero-
+    crossing rate, 0-pad]."""
+    with wave.open(io.BytesIO(payload)) as w:
+        n_ch, sampwidth, framerate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        n_frames = w.getnframes()
+        raw = w.readframes(n_frames)
+    if sampwidth == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sampwidth == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"WAV sample width {sampwidth} unsupported")
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0] = 2.0
+    out[1], out[2], out[3] = float(n_ch), float(framerate), float(n_frames)
+    out[4] = n_frames / framerate if framerate else 0.0
+    if samples.size:
+        out[5], out[6] = float(samples.mean()), float(samples.std())
+        out[7] = float(np.sqrt((samples**2).mean()))
+        out[8], out[9] = float(samples.min()), float(samples.max())
+        out[10] = float((np.diff(np.signbit(samples)) != 0).mean()) if samples.size > 1 else 0.0
+    return out
+
+
 def decode_payload(payload: bytes, kind: str, use_fake_codec: bool = False) -> np.ndarray:
     if use_fake_codec:
         return _fake_decode(payload)
+    # real, stdlib-decodable containers take the production path end-to-end
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return _decode_wav(payload)
     raise NotImplementedError(
-        "real media decoding requires codec libraries (PIL/libav) shipped via "
-        "--py-files; pass use_fake_codec=True for the deterministic test codec"
+        f"no stdlib decoder for this {kind} payload (BMP and PCM WAV decode "
+        "natively); ship a PIL/libav decoder via --py-files, or pass "
+        "use_fake_codec=True for the deterministic test codec"
     )
 
 

@@ -229,7 +229,11 @@ def train_ivf_centroids(
                 n = np.linalg.norm(mat, axis=1, keepdims=True)
                 n[n == 0] = 1.0
                 mat = mat / n
-                assign = (mat @ c_bcast.T).argmax(axis=1)
+                # round-6 before argmax: assignment then agrees with the
+                # oracle twin regardless of float summation order (the
+                # same 6-decimal contract ivf_topk's nearest_structs uses);
+                # argmax ties take the FIRST max = lowest centroid id
+                assign = (mat @ c_bcast.T).round(6).argmax(axis=1)
                 np.add.at(sums, assign, mat)
                 np.add.at(counts, assign, 1)
             yield pd.DataFrame(

@@ -342,6 +342,29 @@ def parse_turtle(
     return _TurtleParser(text, expand_prefixes, doc_id).parse()
 
 
+def _read_sidecar_header(spark: SparkSession, path: str) -> str:
+    """Contents of ``{path}/_prefixes.ttl`` via the JVM Hadoop FileSystem
+    (works for file://, hdfs://, s3a:// alike), or '' when absent or when
+    ``path`` is a single file. Driver-side, one small read."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(conf)
+    if not (fs.exists(p) and fs.getFileStatus(p).isDirectory()):
+        return ""
+    side = jvm.org.apache.hadoop.fs.Path(path, "_prefixes.ttl")
+    if not fs.exists(side):
+        return ""
+    stream = fs.open(side)
+    try:
+        baos = jvm.java.io.ByteArrayOutputStream()
+        # copy entirely JVM-side; the sidecar is a handful of @prefix lines
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, conf, False)
+        return bytes(baos.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()
+
+
 def read_turtle(
     spark: SparkSession,
     path: str,
@@ -353,15 +376,15 @@ def read_turtle(
     parallel unit). ``extra_prefix_header`` prepends shared ``@prefix``
     declarations — ``sinks/turtle.py`` keeps them in ``_prefixes.ttl``,
     which the parquet-style file index hides from the data read."""
-    import os
-
     import pandas as pd
 
     header = extra_prefix_header or ""
-    side = os.path.join(path, "_prefixes.ttl")
-    if not header and os.path.isdir(path) and os.path.exists(side):
-        with open(side) as f:
-            header = f.read()
+    if not header:
+        # resolve the sidecar through the Hadoop FileSystem API, not
+        # os.path — the store path can be hdfs:// or s3a:// (ADVICE r3:
+        # the local-only check silently skipped the sidecar on remote
+        # stores, making expand_prefixes parses fail on every prefix)
+        header = _read_sidecar_header(spark, path)
 
     files = spark.read.text(path, wholetext=True)
 

@@ -153,6 +153,118 @@ def test_graphdb_sink_protocol_and_parallel_upload(spark, triples):
     assert n_lines == triples.count()
 
 
+def _txn_server():
+    """Stub RDF4J server with REAL transaction semantics: ADDs stage into
+    a per-transaction buffer, COMMIT publishes to `committed`, DELETE (or
+    never committing) discards. `fail_adds_after` injects a 500 on every
+    ADD past the Nth — the mid-upload-failure probe."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    state = {
+        "committed": [], "staged": {}, "next_txn": 0,
+        "fail_adds_after": None, "adds_seen": 0, "rolled_back": 0,
+    }
+    lock = threading.Lock()
+
+    class Handler(BaseHTTPRequestHandler):
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n).decode("utf-8")
+
+        def do_POST(self):
+            body = self._body()
+            with lock:
+                if self.path.endswith("/transactions"):
+                    tid = state["next_txn"]
+                    state["next_txn"] += 1
+                    state["staged"][tid] = []
+                    self.send_response(201)
+                    host = f"http://127.0.0.1:{self.server.server_port}"
+                    self.send_header("Location", f"{host}{self.path}/{tid}")
+                    self.end_headers()
+                    return
+                state["committed"].append(body)
+            self.send_response(204)
+            self.end_headers()
+
+        def do_PUT(self):
+            body = self._body()
+            with lock:
+                if "/transactions/" in self.path:
+                    tid = int(self.path.split("/transactions/")[1].split("?")[0])
+                    if "action=ADD" in self.path:
+                        state["adds_seen"] += 1
+                        limit = state["fail_adds_after"]
+                        if limit is not None and state["adds_seen"] > limit:
+                            self.send_response(500)
+                            self.end_headers()
+                            return
+                        state["staged"][tid].append(body)
+                    elif "action=COMMIT" in self.path:
+                        state["committed"].extend(state["staged"].pop(tid))
+            self.send_response(204)
+            self.end_headers()
+
+        def do_DELETE(self):
+            with lock:
+                if "/transactions/" in self.path:
+                    tid = int(self.path.split("/transactions/")[1].split("?")[0])
+                    state["staged"].pop(tid, None)
+                    state["rolled_back"] += 1
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, state
+
+
+def _committed_triple_lines(state):
+    return [
+        line
+        for body in state["committed"]
+        for line in body.splitlines()
+        if line.endswith(" .") and not line.startswith("@prefix")
+    ]
+
+
+def test_graphdb_atomic_upload_commits_all_or_nothing(spark, triples):
+    """atomic=True (reference parity, GraphDB.java:150-163): a clean run
+    publishes everything in ONE commit; a mid-upload ADD failure rolls the
+    transaction back and the repo shows NOTHING — never a partial graph."""
+    from knowledgegraphs_spark.sinks.graphdb import upload_triples
+
+    n = triples.count()
+
+    # clean run → complete
+    srv, state = _txn_server()
+    endpoint = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        upload_triples(triples.repartition(3), endpoint, "kgtest",
+                       atomic=True, batch_rows=5)
+    finally:
+        srv.shutdown()
+    assert len(_committed_triple_lines(state)) == n
+    assert not state["staged"]                       # nothing left open
+
+    # failure mid-stream → empty, rolled back, error surfaced
+    srv, state = _txn_server()
+    state["fail_adds_after"] = 1                      # first ADD ok, rest 500
+    endpoint = f"http://127.0.0.1:{srv.server_port}"
+    try:
+        with pytest.raises(RuntimeError):
+            upload_triples(triples.repartition(3), endpoint, "kgtest",
+                           atomic=True, batch_rows=1, retries=1)
+    finally:
+        srv.shutdown()
+    assert _committed_triple_lines(state) == []       # all-or-nothing held
+    assert state["rolled_back"] == 1
+
+
 # --- S15: Kafka sink vs a local stdlib TCP stub broker (Produce v0) ----------
 
 

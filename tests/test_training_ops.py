@@ -84,9 +84,102 @@ def test_multimodal_plumbing(spark):
     resized = resize_stub(media, 64, 64).select("meta.width", "meta.height").first()
     assert (resized.width, resized.height) == (64, 64)
 
-    # the real codec path is an explicit stub
+    # payloads with no stdlib decoder still raise through the real path
     with pytest.raises(NotImplementedError):
         decode_payload(b"xx", "image", use_fake_codec=False)
+
+
+def _make_bmp(width: int, height: int, rgb) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP, solid color."""
+    import struct as s
+
+    row = (bytes([rgb[2], rgb[1], rgb[0]]) * width + b"\x00\x00\x00")[
+        : (width * 3 + 3) & ~3
+    ]
+    px = row * height
+    header = s.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = s.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(px), 2835, 2835, 0, 0)
+    return header + info + px
+
+
+def _make_wav(framerate: int, samples) -> bytes:
+    import io as _io
+    import wave as _wave
+
+    import numpy as _np
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(framerate)
+        w.writeframes((_np.asarray(samples) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_codecs_through_production_path(spark):
+    """The codec seam proven on REAL bytes: a struct-built 24-bit BMP and
+    a stdlib-wave PCM WAV decode through the production mapInPandas path
+    (use_fake_codec=False) into the documented feature contract."""
+    import math
+
+    from knowledgegraphs_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+    )
+
+    bmp = _make_bmp(5, 4, (200, 100, 50))
+    tone = [math.sin(2 * math.pi * 440 * t / 8000) for t in range(800)]
+    wav = _make_wav(8000, tone)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(bmp)), (2, "audio", bytearray(wav))],
+        "media_id long, kind string, payload binary",
+    )
+    rows = {r.media_id: r.features for r in extract_features(media).collect()}
+    img = rows[1]
+    assert len(img) == FEATURE_DIM
+    assert img[0] == 1.0 and (img[1], img[2], img[3]) == (5.0, 4.0, 3.0)
+    # solid color: per-channel means are exact, stds zero (BGR order)
+    assert [round(v) for v in img[4:7]] == [50, 100, 200]
+    assert img[8] == img[9] == img[10] == 0.0
+    assert (img[12], img[13]) == (50.0, 200.0)
+    aud = rows[2]
+    assert aud[0] == 2.0 and (aud[1], aud[2], aud[3]) == (1.0, 8000.0, 800.0)
+    assert abs(aud[4] - 0.1) < 1e-6              # duration
+    assert abs(aud[5]) < 0.01                    # sine mean ~0
+    assert abs(aud[7] - 1 / math.sqrt(2)) < 0.01  # sine RMS
+    assert aud[10] > 0.05                        # zero crossings present
+
+
+def test_bmp_32bit_and_wav_8bit_variants():
+    import struct as s
+
+    import numpy as _np
+
+    from knowledgegraphs_spark.operators.multimodal import decode_payload
+
+    # 32-bit BMP: rows have no padding, 4 channels
+    w_, h_ = 3, 2
+    px = bytes([10, 20, 30, 255]) * (w_ * h_)
+    header = s.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    info = s.pack("<IiiHHIIiiII", 40, w_, h_, 1, 32, 0, len(px), 2835, 2835, 0, 0)
+    f = decode_payload(header + info + px, "image")
+    assert (f[1], f[2], f[3]) == (3.0, 2.0, 4.0)
+    assert [round(v) for v in f[4:8]] == [10, 20, 30, 255]
+
+    # 8-bit unsigned WAV
+    import io as _io
+    import wave as _wave
+
+    buf = _io.BytesIO()
+    with _wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(1)
+        wv.setframerate(4000)
+        wv.writeframes(bytes([128, 255, 0, 128]))
+    f2 = decode_payload(buf.getvalue(), "audio")
+    assert f2[0] == 2.0 and f2[3] == 4.0
+    assert abs(f2[9] - 127 / 128) < 1e-6 and f2[8] == -1.0
 
 
 def test_text_analysis_sanity(spark):
@@ -285,6 +378,55 @@ def test_ivf_trained_quantizer_improves_objective_and_stays_exact(spark):
         for r in ivf_topk(emb, q, k=3, n_probe=8, centroids=trained).collect()
     }
     assert full == bf
+
+
+def test_trained_quantizer_matches_sequential_twin(spark):
+    """The distributed trainer (per-partition moments, combined driver-
+    side) must compute the SAME k-means as the sequential numpy twin the
+    s3b oracle inlines — agreement to 1e-9 proves the moments-combine
+    path, since the twin never touches Spark."""
+    from __spark_entry__ import _lloyd_twin_centroids
+    from knowledgegraphs_spark.operators.simsearch import train_ivf_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    trained = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    twin = _lloyd_twin_centroids("/root/testdata/sf0.001", n_centroids=8, n_iters=3)
+    assert [c for c, _ in trained] == [c for c, _ in twin]
+    for (_, a), (_, b) in zip(trained, twin):
+        assert max(abs(x - y) for x, y in zip(a, b)) < 1e-9
+
+
+def test_trained_quantizer_recall_not_worse_than_sampled(spark):
+    """Partial-probe recall vs brute force with the trained quantizer must
+    be >= the sampled quantizer's on the same corpus (the point of
+    training: tighter lists -> better candidates per probe)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.operators.simsearch import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    bf_pairs = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(emb, q, k=3).collect()
+    }
+
+    def recall(centroids):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                emb, q, k=3, n_centroids=8, n_probe=2, centroids=centroids
+            ).collect()
+        }
+        return len(got & bf_pairs) / len(bf_pairs)
+
+    sampled = train_ivf_centroids(emb, n_centroids=8, n_iters=0)
+    trained = train_ivf_centroids(emb, n_centroids=8, n_iters=3)
+    r_sampled, r_trained = recall(sampled), recall(trained)
+    assert r_trained >= r_sampled, (r_sampled, r_trained)
 
 
 def test_xxhash64_twin_on_generated_corpus(spark):
