@@ -52,6 +52,8 @@ Scope (documented, not silently wrong):
 - ``BIND (expr AS ?v)`` binds sequentially (sees variables bound so far
   in the group). Expressions support ``+ - * /`` arithmetic (numeric
   cast), the comparison/boolean operators, and the builtins below.
+- Subqueries ``{ SELECT ... }`` evaluate bottom-up; only the projected
+  variables join with the outer group (SPARQL 1.1 §12 scoping).
 - Aggregates: COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM / AVG /
   MIN / MAX with GROUP BY; SUM/AVG cast the string-typed object column to
   double (the store keeps literal reprs — ``triples.py:literal_repr``).
@@ -167,6 +169,11 @@ class BindExpr:
 
 
 @dataclass
+class SubSelect:  # { SELECT ... } nested query; only its projection is visible
+    query: "Query"
+
+
+@dataclass
 class FilterExpr:
     expr: object  # expression AST
 
@@ -278,6 +285,12 @@ class _Parser:
             if k2 != "IRI":
                 raise SyntaxError(f"SPARQL: bad PREFIX iri {iri!r}")
             self.prefixes[pfx] = iri[1:-1]
+        q = self._select_query()
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(f"SPARQL: trailing input at {self.peek()[1]!r}")
+        return q
+
+    def _select_query(self) -> Query:
         self.eat_word("SELECT")
         distinct = False
         if self.at_word("DISTINCT"):
@@ -330,8 +343,6 @@ class _Parser:
                 offset = int(self.next()[1])
             else:
                 break
-        if self.peek()[0] != "EOF":
-            raise SyntaxError(f"SPARQL: trailing input at {self.peek()[1]!r}")
         return Query(select, distinct, where, group_by, order_by, limit, offset)
 
     def _select_expr_item(self) -> SelectItem:
@@ -384,6 +395,12 @@ class _Parser:
             elif self.at_word("OPTIONAL"):
                 self.next()
                 g.elements.append(OptionalPat(self._group()))
+            elif v == "{" and self.peek(1)[0] == "WORD" and self.peek(1)[1].upper() == "SELECT":
+                # subquery: evaluated bottom-up, only its projection joins
+                self.next()
+                sub = self._select_query()
+                self.eat_op("}")
+                g.elements.append(SubSelect(sub))
             elif v == "{":
                 branches = [self._group()]
                 while self.at_word("UNION"):
@@ -845,6 +862,11 @@ def _bound_vars(el) -> set:
         return set(el.var_names)
     if isinstance(el, BindExpr):
         return {el.name}
+    if isinstance(el, SubSelect):
+        q = el.query
+        if not q.select:
+            return _bound_vars(q.where)
+        return {it.var if it.var else it.alias for it in q.select}
     return set()
 
 
@@ -899,6 +921,9 @@ def _eval_group(triples: DataFrame, group: Group) -> DataFrame:
             schema = ", ".join(f"{n} string" for n in el.var_names)
             inline = triples.sparkSession.createDataFrame(el.rows, schema)
             acc = inline if acc is None else _join(acc, inline)
+        elif isinstance(el, SubSelect):
+            sub = _eval_query(triples, el.query)
+            acc = sub if acc is None else _join(acc, sub)
         elif isinstance(el, BindExpr):
             # sequential scope: BIND sees the variables bound so far
             if acc is None:
@@ -1023,6 +1048,11 @@ def sparql_select(triples: DataFrame, query: str | Query) -> DataFrame:
     no Python in the row path.
     """
     q = parse_query(query) if isinstance(query, str) else query
+    return _eval_query(triples, q)
+
+
+def _eval_query(triples: DataFrame, q: Query) -> DataFrame:
+    """Evaluate a parsed query — also the recursion point for subqueries."""
     df = _eval_group(triples, q.where)
     # SELECT * = all named (non-blank-internal) variables, sorted for stability
     if not q.select:

@@ -76,9 +76,17 @@ def get_spark(
     if os.environ.get("SPARK_GRAFT_LOCAL_DIR"):
         builder = builder.config("spark.local.dir", os.environ["SPARK_GRAFT_LOCAL_DIR"])
     elif os.path.isdir("/dev/shm"):
-        builder = builder.config(
-            "spark.local.dir", tempfile.mkdtemp(prefix="spark-local-", dir="/dev/shm")
-        )
+        scratch = tempfile.mkdtemp(prefix="spark-local-", dir="/dev/shm")
+        builder = builder.config("spark.local.dir", scratch)
+        # tmpfs scratch counts against RAM: a killed JVM leaves its spills
+        # behind and the next big job OOMs on memory the box doesn't have
+        # (measured: 104 leaked dirs / 75 GB after a long test session).
+        # Best-effort removal at interpreter exit; a clean spark.stop()
+        # already empties the dir, this reaps the dir itself + crash debris.
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, scratch, ignore_errors=True)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

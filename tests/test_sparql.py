@@ -359,6 +359,43 @@ def test_aggregate_projection_declared_order_only(tbox):
     assert [tuple(r) for r in got.collect()] == [(3, PO + "Person")]
 
 
+def test_subquery_aggregate_joined_with_outer(tbox):
+    # classic SPARQL 1.1 subquery shape: aggregate inside, join the
+    # aggregate result back to per-row bindings outside
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls ?lbl ?n WHERE {{
+            ?cls rdfs:label ?lbl .
+            {{ SELECT ?cls (COUNT(?sup) AS ?n) WHERE {{
+                ?cls rdfs:subClassOf ?sup .
+            }} GROUP BY ?cls }}
+            FILTER (?n >= 2)
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [
+        (PO + "Address", "Address", 2),
+        (PO + "Person", "Person", 3),
+    ]
+
+
+def test_subquery_projection_scoping(tbox):
+    # variables NOT projected by the subquery are invisible outside —
+    # ?sup inside must not join with the outer ?sup pattern
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls ?sup WHERE {{
+            ?cls rdfs:subClassOf ?sup .
+            {{ SELECT ?cls WHERE {{ ?cls rdfs:subClassOf PO:C1 . }} }}
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [(PO + "C2", PO + "C1")]
+
+
+def test_subquery_limit_inside(tbox):
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            {{ SELECT ?cls WHERE {{ ?cls rdfs:subClassOf PO:TableClass . }}
+               ORDER BY ?cls LIMIT 2 }}
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [(PO + "Address",), (PO + "C1",)]
+
+
 def test_aggregate_unprojected_group_var_dropped(tbox):
     query = f"""{SW_PREFIXES}
         SELECT (COUNT(*) AS ?n) WHERE {{
