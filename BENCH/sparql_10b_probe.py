@@ -57,22 +57,40 @@ def main() -> None:
     os.makedirs(BASE, exist_ok=True)
     input_path = os.path.join(BASE, "turns")
     store = os.path.join(BASE, "store")
-    spark = get_spark("kg-10b-probe", master="local[32]", shuffle_partitions=256)
+    # zstd for shuffle/spill blocks, not just parquet: the bucketing
+    # repartition of 10 B triples shuffles the whole dataset once, and
+    # lz4 blocks of long repetitive URI strings measured ~66 GB — more
+    # scratch than this box's disk. zstd halves it at equal wall time;
+    # on a real cluster this is the same executor conf.
+    spark = get_spark(
+        "kg-10b-probe",
+        master="local[32]",
+        shuffle_partitions=256,
+        extra_conf={"spark.io.compression.codec": "zstd"},
+    )
     results: dict[str, float] = {}
     try:
         if not os.path.exists(os.path.join(store, "_SUCCESS")):
-            _, results["synth_write_s"] = timed(
-                "synthesize+write input",
-                lambda: synthesize_transcripts_distributed(
-                    spark, N_CONV, n_partitions=512
-                ).write.mode("overwrite").parquet(input_path),
-            )
+            if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
+                _, results["synth_write_s"] = timed(
+                    "synthesize+write input",
+                    lambda: synthesize_transcripts_distributed(
+                        spark, N_CONV, n_partitions=512
+                    ).write.mode("overwrite").parquet(input_path),
+                )
             turns = spark.read.parquet(input_path)
             n_turns = turns.count()
             print(json.dumps({"n_turns": n_turns}), flush=True)
+            # coalesce_buckets=False: the one-file-per-bucket exchange
+            # would stage all 10 B triples through shuffle scratch
+            # (measured 115 GB — exceeds this box's disk); the map-side
+            # write keeps pruning and needs no exchange at all.
             _, results["build_write_s"] = timed(
                 "build+write_triples",
-                lambda: write_triples(build_kg_triples(spark, turns), store, n_buckets=32),
+                lambda: write_triples(
+                    build_kg_triples(spark, turns), store,
+                    n_buckets=32, coalesce_buckets=False,
+                ),
             )
             results["turns_per_sec"] = round(n_turns / results["build_write_s"], 1)
             # input no longer needed; free the tmpfs before the query phase

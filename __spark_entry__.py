@@ -1872,6 +1872,50 @@ SELECT node, anc, cast(length(anc) AS int) AS len FROM star
 """.strip()
 
 
+_G14_SPARQL = """
+    SELECT ?node ?parent ?n WHERE {
+        ?node kg:subClassOf ?parent .
+        { SELECT ?node (COUNT(?c) AS ?n) WHERE {
+            ?c kg:subClassOf ?node .
+        } GROUP BY ?node }
+        MINUS { ?node kg:subClassOf <n1> . }
+    }
+"""
+
+
+def q_sparql_minus_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G14 (engine extension): SPARQL 1.1 subquery + MINUS compiled from
+    query text — the subquery aggregates child counts bottom-up (only its
+    projection joins outward, §12 scoping), MINUS is a left-anti join on
+    the shared variable. Finds internal tree nodes at depth ≥ 2 with
+    their child counts. Oracle: GROUP BY + anti-join in DuckDB."""
+    from knowledgegraphs_spark.operators.sparql import sparql_select
+
+    triples = (
+        _tree_edges(spark, sf_dir)
+        .select(
+            F.col("child").alias("subj"),
+            F.lit("kg:subClassOf").alias("pred"),
+            F.col("parent").alias("obj"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    return sparql_select(triples, _G14_SPARQL)
+
+
+_G14_SQL = """
+WITH edges AS (
+  SELECT 'n' || cast(p_partkey AS varchar) AS child,
+         'n' || cast(cast(floor(p_partkey / 2) AS BIGINT) AS varchar) AS parent
+  FROM part WHERE p_partkey >= 2
+),
+counts AS (SELECT parent AS node, COUNT(*) AS n FROM edges GROUP BY parent)
+SELECT e.child AS node, e.parent AS parent, c.n AS n
+FROM edges e JOIN counts c ON c.node = e.child
+WHERE e.child NOT IN (SELECT child FROM edges WHERE parent = 'n1')
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
@@ -2587,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s12_turtle_roundtrip": q_turtle_roundtrip,
         "g12_entity_pagerank": q_entity_pagerank,
         "g13_sparql_star_path": q_sparql_star_path,
+        "g14_sparql_minus_subquery": q_sparql_minus_subquery,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2663,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "s12_turtle_roundtrip": _S12_SQL,
         "g12_entity_pagerank": _pagerank_sql(),
         "g13_sparql_star_path": _G13_SQL,
+        "g14_sparql_minus_subquery": _G14_SQL,
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,

@@ -54,6 +54,12 @@ Scope (documented, not silently wrong):
   cast), the comparison/boolean operators, and the builtins below.
 - Subqueries ``{ SELECT ... }`` evaluate bottom-up; only the projected
   variables join with the outer group (SPARQL 1.1 §12 scoping).
+- ``MINUS { ... }`` is a left-anti join on the shared variables; with no
+  shared variables it removes nothing (the spec's dom-disjoint rule). A
+  NULL shared column (from an OPTIONAL) never matches, which equals the
+  spec when it is the ONLY shared variable; with several shared variables
+  of which one is unbound, SPARQL would still compare the bound ones —
+  keep MINUS groups over always-bound variables (the normal case).
 - Aggregates: COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM / AVG /
   MIN / MAX with GROUP BY; SUM/AVG cast the string-typed object column to
   double (the store keeps literal reprs — ``triples.py:literal_repr``).
@@ -186,6 +192,11 @@ class FilterExists:
 
 @dataclass
 class OptionalPat:
+    group: "Group"
+
+
+@dataclass
+class MinusPat:
     group: "Group"
 
 
@@ -395,6 +406,9 @@ class _Parser:
             elif self.at_word("OPTIONAL"):
                 self.next()
                 g.elements.append(OptionalPat(self._group()))
+            elif self.at_word("MINUS"):
+                self.next()
+                g.elements.append(MinusPat(self._group()))
             elif v == "{" and self.peek(1)[0] == "WORD" and self.peek(1)[1].upper() == "SELECT":
                 # subquery: evaluated bottom-up, only its projection joins
                 self.next()
@@ -856,7 +870,9 @@ def _bound_vars(el) -> set:
         for b in el.branches:
             out |= _bound_vars(b)
         return out
-    if isinstance(el, OptionalPat):
+    if isinstance(el, (OptionalPat, MinusPat)):
+        # MINUS binds nothing outward, but for the UNDEF-clash check the
+        # conservative answer (its variables MIGHT interact) is the safe one
         return _bound_vars(el.group)
     if isinstance(el, InlineData):
         return set(el.var_names)
@@ -917,6 +933,18 @@ def _eval_group(triples: DataFrame, group: Group) -> DataFrame:
                 if not shared:
                     raise ValueError("SPARQL: OPTIONAL sharing no variables is unsupported")
                 acc = acc.join(right, on=shared, how="left")
+        elif isinstance(el, MinusPat):
+            # SPARQL algebra: G := Minus(G, G2) at the point MINUS appears.
+            # A solution is removed iff a right-side solution is compatible
+            # AND shares at least one bound variable — so with no shared
+            # variables MINUS removes nothing (spec-defined, unlike the
+            # OPTIONAL no-shared-vars case which raises above).
+            right = _eval_group(triples, el.group)
+            if acc is not None:
+                shared = sorted(set(acc.columns) & set(right.columns))
+                if shared:
+                    acc = acc.join(right, on=shared, how="left_anti")
+            # acc is None: {} MINUS G2 keeps the empty solution — no-op
         elif isinstance(el, InlineData):
             schema = ", ".join(f"{n} string" for n in el.var_names)
             inline = triples.sparkSession.createDataFrame(el.rows, schema)

@@ -263,18 +263,31 @@ def subj_bucket_of(subj: Column | str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(n_buckets))
 
 
-def write_triples(triples: DataFrame, path: str, n_buckets: int = 32) -> None:
+def write_triples(
+    triples: DataFrame, path: str, n_buckets: int = 32, coalesce_buckets: bool = True
+) -> None:
     """Persist partitioned by subject hash so per-subject reads prune.
     Also records the bucket count under ``<path>/_kg_meta`` (underscore
     prefix = invisible to the parquet file index) so ``read_triples`` can
-    re-arm constant-subject partition pruning in later sessions."""
-    (
-        triples.withColumn("subj_bucket", subj_bucket_of(F.col("subj"), n_buckets))
-        .repartition(n_buckets, "subj_bucket")
-        .write.mode("overwrite")
-        .partitionBy("subj_bucket")
-        .parquet(path)
+    re-arm constant-subject partition pruning in later sessions.
+
+    ``coalesce_buckets=True`` (default) shuffles into one file per bucket
+    — the tidiest layout for small/medium stores. At billions of triples
+    that exchange is the wrong plan twice over: it stages the ENTIRE
+    dataset through shuffle scratch (measured 115 GB for the 10 B-triple
+    store — more than this box's disk), and it caps write parallelism at
+    ``n_buckets`` reducers (32 reducers for a 100 TB store). With
+    ``False`` the bucket column is computed map-side and ``partitionBy``
+    writes directly — no exchange, parallelism = upstream tasks, the
+    per-task sort spill is transient and bounded by one task's input.
+    Directory pruning is identical; the cost is files-per-bucket = map
+    tasks (``compact_store`` folds them later if wanted)."""
+    bucketed = triples.withColumn(
+        "subj_bucket", subj_bucket_of(F.col("subj"), n_buckets)
     )
+    if coalesce_buckets:
+        bucketed = bucketed.repartition(n_buckets, "subj_bucket")
+    bucketed.write.mode("overwrite").partitionBy("subj_bucket").parquet(path)
     spark = triples.sparkSession
     meta = spark.createDataFrame([(n_buckets,)], "subj_buckets int")
     meta.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "/_kg_meta")

@@ -359,6 +359,44 @@ def test_aggregate_projection_declared_order_only(tbox):
     assert [tuple(r) for r in got.collect()] == [(3, PO + "Person")]
 
 
+def test_minus_removes_compatible_solutions(tbox):
+    # table classes MINUS labelled ones: Person/Address have rdfs:label,
+    # C1 does not
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            MINUS {{ ?cls rdfs:label ?lbl . }}
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [(PO + "C1",)]
+
+
+def test_minus_no_shared_vars_removes_nothing(tbox):
+    # spec: dom-disjoint solutions are never removed — MINUS over
+    # variables the outer group doesn't bind is a no-op, NOT a wipe
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            MINUS {{ ?x rdfs:label ?y . }}
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [
+        (PO + "Address",), (PO + "C1",), (PO + "Person",),
+    ]
+
+
+def test_minus_mid_group_applies_to_prefix(tbox):
+    # MINUS applies to the group accumulated so far; a later pattern
+    # still joins afterwards
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls ?sup WHERE {{
+            ?cls rdfs:subClassOf ?sup .
+            MINUS {{ ?cls rdf:type owl:Class . }}
+            ?sup rdfs:subClassOf PO:TableClass .
+        }}"""
+    # subclass-of-a-table-class rows whose subject is NOT an owl:Class:
+    # C2 < C1 only (C3 < C2 fails the ?sup pattern; Person/Address removed)
+    assert rows(sparql_select(tbox, query)) == [(PO + "C2", PO + "C1")]
+
+
 def test_subquery_aggregate_joined_with_outer(tbox):
     # classic SPARQL 1.1 subquery shape: aggregate inside, join the
     # aggregate result back to per-row bindings outside
@@ -610,6 +648,39 @@ def test_point_lookup_prunes_store_partitions(spark, tmp_path):
     bare = spark.read.parquet(path)
     got = sparql_select(bare, "SELECT ?p ?o WHERE { s7 ?p ?o . }")
     assert sorted(tuple(r) for r in got.collect()) == [("p", "o7"), ("q", "extra")]
+
+
+def test_mapside_write_same_store_semantics(spark, tmp_path):
+    """coalesce_buckets=False (the no-exchange write for huge stores)
+    must produce a store with identical contents, identical bucket
+    assignment, and the same constant-subject partition pruning — only
+    the files-per-bucket layout differs."""
+    from knowledgegraphs_spark.operators.triples import read_triples, write_triples
+
+    data = [(f"s{i}", "p", f"o{i}") for i in range(50)] + [("s7", "q", "extra")]
+    t = spark.createDataFrame(
+        data, "subj string, pred string, obj string"
+    ).select("subj", "pred", "obj", F.lit("xsd:string").alias("obj_dtype"),
+             F.lit(True).alias("is_literal")).repartition(4)
+    shuffled, mapside = str(tmp_path / "a"), str(tmp_path / "b")
+    write_triples(t, shuffled, n_buckets=8)
+    write_triples(t, mapside, n_buckets=8, coalesce_buckets=False)
+
+    a, b = read_triples(spark, shuffled), read_triples(spark, mapside)
+    cols = ["subj_bucket", "subj", "pred", "obj"]
+    assert sorted(map(tuple, a.select(*cols).collect())) == sorted(
+        map(tuple, b.select(*cols).collect())
+    )
+    df = sparql_select(b, "SELECT ?p ?o WHERE { s7 ?p ?o . }")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "subj_bucket" in plan.split("PartitionFilters:")[1].split("]")[0], plan
+    # layout: map-side write keeps upstream parallelism — one file per
+    # (input task × bucket it saw), never collapsed to n_buckets files
+    import glob as _glob
+
+    n_files_a = len(_glob.glob(shuffled + "/subj_bucket=*/*.parquet"))
+    n_files_b = len(_glob.glob(mapside + "/subj_bucket=*/*.parquet"))
+    assert n_files_b >= n_files_a
 
 
 def test_plan_has_pushed_filters_and_no_python(tbox):
