@@ -287,6 +287,15 @@ def write_triples(
     )
     if coalesce_buckets:
         bucketed = bucketed.repartition(n_buckets, "subj_bucket")
+    # subj-sort within write tasks (satisfies partitionBy's required
+    # ordering, so no second sort is inserted). Two effects, both measured
+    # on the 10 B-triple rung: (1) same-subject/same-prefix URIs become
+    # adjacent, which parquet dictionary+RLE needs — the UNsorted map-side
+    # write compressed 2.3× worse than the bucket-coalesced one (projected
+    # ~85 GB vs 37 GB) because hashing scattered conversation locality;
+    # (2) row-group subj min/max stats become disjoint ranges, so a
+    # constant-subject lookup prunes row groups INSIDE the bucket too.
+    bucketed = bucketed.sortWithinPartitions("subj_bucket", "subj")
     bucketed.write.mode("overwrite").partitionBy("subj_bucket").parquet(path)
     spark = triples.sparkSession
     meta = spark.createDataFrame([(n_buckets,)], "subj_buckets int")
