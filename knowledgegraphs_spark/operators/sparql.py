@@ -54,6 +54,11 @@ Scope (documented, not silently wrong):
   cast), the comparison/boolean operators, and the builtins below.
 - Subqueries ``{ SELECT ... }`` evaluate bottom-up; only the projected
   variables join with the outer group (SPARQL 1.1 §12 scoping).
+- Disconnected shapes are full-semantics, not raises: an OPTIONAL with no
+  shared variables is the spec's LeftJoin over Ω×Ω' (a deliberate product
+  — nested-loop join), and an uncorrelated (NOT) EXISTS compiles to a
+  broadcast 1-row emptiness probe rather than a join against the whole
+  sub-pattern result.
 - ``MINUS { ... }`` is a left-anti join on the shared variables; with no
   shared variables it removes nothing (the spec's dom-disjoint rule). A
   NULL shared column (from an OPTIONAL) never matches, which equals the
@@ -930,15 +935,21 @@ def _eval_group(triples: DataFrame, group: Group) -> DataFrame:
                 acc = right
             else:
                 shared = sorted(set(acc.columns) & set(right.columns))
-                if not shared:
-                    raise ValueError("SPARQL: OPTIONAL sharing no variables is unsupported")
-                acc = acc.join(right, on=shared, how="left")
+                if shared:
+                    acc = acc.join(right, on=shared, how="left")
+                else:
+                    # disconnected OPTIONAL: the spec's LeftJoin on Ω×Ω' —
+                    # every left solution extends with EVERY right solution
+                    # (a product, deliberately; empty right keeps the left
+                    # row with NULLs). Compiles to a nested-loop join; fine
+                    # for the small disconnected groups this shape implies,
+                    # and semantically required.
+                    acc = acc.join(right, F.lit(True), "left")
         elif isinstance(el, MinusPat):
             # SPARQL algebra: G := Minus(G, G2) at the point MINUS appears.
             # A solution is removed iff a right-side solution is compatible
             # AND shares at least one bound variable — so with no shared
-            # variables MINUS removes nothing (spec-defined, unlike the
-            # OPTIONAL no-shared-vars case which raises above).
+            # variables MINUS removes nothing (spec-defined).
             right = _eval_group(triples, el.group)
             if acc is not None:
                 shared = sorted(set(acc.columns) & set(right.columns))
@@ -974,9 +985,17 @@ def _eval_group(triples: DataFrame, group: Group) -> DataFrame:
         else:
             sub = _eval_group(triples, f.group)
             shared = sorted(set(acc.columns) & set(sub.columns))
-            if not shared:
-                raise ValueError("SPARQL: EXISTS sharing no variables is unsupported")
-            acc = acc.join(sub, on=shared, how="left_semi" if f.positive else "left_anti")
+            how = "left_semi" if f.positive else "left_anti"
+            if shared:
+                acc = acc.join(sub, on=shared, how=how)
+            else:
+                # uncorrelated (NOT) EXISTS: a pure emptiness test — probe
+                # with a broadcast 1-row projection of the sub-pattern, so
+                # the nested-loop join is against at most one row. EXISTS
+                # keeps everything iff the pattern matches anywhere;
+                # NOT EXISTS keeps everything iff it matches nowhere.
+                probe = sub.limit(1).select(F.lit(1).alias("__exists_probe"))
+                acc = acc.join(F.broadcast(probe), F.lit(True), how)
     return acc
 
 

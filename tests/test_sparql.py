@@ -359,6 +359,53 @@ def test_aggregate_projection_declared_order_only(tbox):
     assert [tuple(r) for r in got.collect()] == [(3, PO + "Person")]
 
 
+def test_optional_disconnected_is_left_product(tbox):
+    # OPTIONAL sharing no variables = the spec's LeftJoin over the product:
+    # each left row extends with every right row
+    query = f"""{SW_PREFIXES}
+        SELECT ?cls ?prop WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            OPTIONAL {{ ?prop rdfs:domain PO:Person . }}
+        }}"""
+    assert rows(sparql_select(tbox, query)) == [
+        (PO + "Address", PO + "livesAt"),
+        (PO + "C1", PO + "livesAt"),
+        (PO + "Person", PO + "livesAt"),
+    ]
+    # empty right side: left rows kept, optional variable NULL
+    query_empty = f"""{SW_PREFIXES}
+        SELECT ?cls ?prop WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            OPTIONAL {{ ?prop rdfs:domain PO:NoSuchClass . }}
+        }}"""
+    assert rows(sparql_select(tbox, query_empty)) == [
+        (PO + "Address", None), (PO + "C1", None), (PO + "Person", None),
+    ]
+
+
+def test_uncorrelated_exists_is_emptiness_probe(tbox):
+    # FILTER EXISTS with no shared variables: keep all iff the pattern
+    # matches anywhere in the graph; NOT EXISTS the inverse
+    hit = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            FILTER EXISTS {{ ?x rdf:type owl:Ontology . }}
+        }}"""
+    assert len(rows(sparql_select(tbox, hit))) == 3
+    miss = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            FILTER EXISTS {{ ?x rdf:type PO:NoSuchClass . }}
+        }}"""
+    assert rows(sparql_select(tbox, miss)) == []
+    not_miss = f"""{SW_PREFIXES}
+        SELECT ?cls WHERE {{
+            ?cls rdfs:subClassOf PO:TableClass .
+            FILTER NOT EXISTS {{ ?x rdf:type PO:NoSuchClass . }}
+        }}"""
+    assert len(rows(sparql_select(tbox, not_miss))) == 3
+
+
 def test_minus_removes_compatible_solutions(tbox):
     # table classes MINUS labelled ones: Person/Address have rdfs:label,
     # C1 does not
