@@ -536,6 +536,43 @@ SELECT DISTINCT 'kg:Entity_' || ename, 'has_label_VALUE', canonical, 'xsd:string
 """.strip()
 
 
+def q_entity_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W8 — the north-star 'entity-catalog dimension' as a first-class
+    artifact: one row per canonical entity with usage statistics, produced
+    by the same mention→match→canonicalize stages as kg_triples_full and
+    checked against the independent pure-Python twin's canonical map
+    (mrows) aggregated in DuckDB."""
+    from knowledgegraphs_spark.operators.mentions import extract_mentions
+    from knowledgegraphs_spark.plans.pipeline import build_kg, entity_catalog
+    from knowledgegraphs_spark.sources.transcripts import ingest
+
+    turns = _turns_from_events(spark, sf_dir)
+    _, canonical = build_kg(spark, turns)
+    mentions = extract_mentions(ingest(turns, None))
+    m_canon = mentions.join(
+        F.broadcast(canonical.select("mention", "canonical")), "mention"
+    )
+    return entity_catalog(m_canon).select(
+        "entity_uri",
+        F.col("canonical").alias("label"),
+        "n_mentions",
+        "n_surfaces",
+        "n_conversations",
+    )
+
+
+def _w8_sql() -> str:
+    return f"""
+{_kg_full_ctes().strip()}
+SELECT 'kg:Entity_' || ename AS entity_uri,
+       canonical AS label,
+       COUNT(*) AS n_mentions,
+       cast(COUNT(DISTINCT mention) AS int) AS n_surfaces,
+       COUNT(DISTINCT conv_id) AS n_conversations
+FROM mrows GROUP BY ename, canonical
+""".strip()
+
+
 def q_incremental_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7: incremental KG maintenance. Batch 1 (even surface indices) runs
     the full pipeline; batch 2 (odd indices) is merged by
@@ -2632,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_entity_pagerank": q_entity_pagerank,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
+        "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -2709,6 +2747,7 @@ def oracle_sql() -> dict[str, str]:
         "g12_entity_pagerank": _pagerank_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,
+        "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,

@@ -87,7 +87,11 @@ def class_uri_lit(name: str):
 
 
 def entity_catalog(mentions_canon: DataFrame) -> DataFrame:
-    """The entity-catalog dimension: one row per canonical entity."""
+    """The entity-catalog dimension: one row per canonical entity with its
+    usage statistics — the second materialized artifact next to the triple
+    table (one hash aggregation over mentions; all counters combine
+    map-side except the exact distinct counts, which stay exact because
+    the catalog is vocabulary-scale, not mention-scale)."""
     e_uri = F.concat(F.lit(f"{BASE_PREFIX}Entity_"), naming.valid_name_col(F.col("canonical")))
     return (
         mentions_canon.withColumn("entity_uri", e_uri)
@@ -95,6 +99,7 @@ def entity_catalog(mentions_canon: DataFrame) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_mentions"),
             F.size(F.collect_set("mention")).alias("n_surfaces"),
+            F.countDistinct("conv_id").alias("n_conversations"),
             F.array_sort(F.collect_set("mention")).alias("surfaces"),
         )
     )
