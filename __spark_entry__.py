@@ -1953,6 +1953,114 @@ WHERE e.child NOT IN (SELECT child FROM edges WHERE parent = 'n1')
 """.strip()
 
 
+# CONSTRUCT: template triples as projections of the solution relation —
+# the derived-graph materialization a KG pipeline uses to publish views
+# (the reference re-shapes graphs imperatively in Java; SPARQL CONSTRUCT
+# is the declarative form). Result is an RDF graph = set-deduplicated.
+_G15_SPARQL = """
+    CONSTRUCT {
+        ?conv has_participant_role ?role .
+        ?conv rdf:type kg:ActiveConversation .
+    }
+    WHERE {
+        ?turn p_Turn_Conversation ?conv ; has_role ?rattr .
+        ?rattr has_role_VALUE ?role .
+    }
+"""
+
+
+def q_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15 (engine extension): SPARQL CONSTRUCT compiled from query text —
+    each template triple is a column projection of the solution relation
+    (constants become literals), unioned and set-deduplicated into a
+    ``(subj, pred, obj)`` graph per the spec. Derives a per-conversation
+    participant-role view of the structural KG."""
+    from knowledgegraphs_spark.operators.sparql import sparql_construct
+
+    # Query a MATERIALIZED store: a k-pattern graph query scans the triple
+    # relation k times, and Spark has no cross-branch CSE (see g10).
+    triples = q_kg_triples_structural(spark, sf_dir).localCheckpoint(eager=True)
+    return sparql_construct(triples, _G15_SPARQL)
+
+
+_G15_SQL = f"""
+{_TURNS_NORM_SQL}
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT 'kg:Conversation_1_' || conv_id AS subj,
+         'has_participant_role' AS pred, role AS obj
+  FROM turns WHERE role IS NOT NULL
+  UNION ALL
+  SELECT 'kg:Conversation_1_' || conv_id, 'rdf:type', 'kg:ActiveConversation'
+  FROM turns WHERE role IS NOT NULL
+)
+""".strip()
+
+
+def q_sparql_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G16 (engine extension): SPARQL ASK — the emptiness of the compiled
+    group pattern probed distributedly (broadcast ``limit(1)`` against a
+    1-row anchor; no driver-side collect decides the answer). Two probes,
+    one that matches and one that cannot, cast to 0/1 for the artifact."""
+    from knowledgegraphs_spark.operators.sparql import sparql_ask
+
+    triples = q_kg_triples_structural(spark, sf_dir).localCheckpoint(eager=True)
+    hit = sparql_ask(triples, "ASK { ?r has_role_VALUE 'tool' . }").select(
+        F.lit("tool_role_exists").alias("probe"), F.col("ask").cast("long").alias("ask")
+    )
+    miss = sparql_ask(triples, "ASK { ?r has_role_VALUE 'ghost_role_xyz' . }").select(
+        F.lit("ghost_role_exists").alias("probe"), F.col("ask").cast("long").alias("ask")
+    )
+    return hit.unionByName(miss)
+
+
+_G16_SQL = f"""
+{_TURNS_NORM_SQL}
+SELECT 'tool_role_exists' AS probe,
+       CAST((SELECT COUNT(*) FROM turns WHERE role = 'tool') > 0 AS BIGINT) AS ask
+UNION ALL
+SELECT 'ghost_role_exists',
+       CAST((SELECT COUNT(*) FROM turns WHERE role = 'ghost_role_xyz') > 0 AS BIGINT)
+""".strip()
+
+
+# HAVING computes its aggregates in the same hash-agg pass; GROUP_CONCAT
+# sorts values (deterministic across partitionings — the spec leaves the
+# order undefined); SAMPLE picks min (the spec allows any group member)
+_G17_SPARQL = """
+    SELECT ?role (COUNT(*) AS ?n_turns)
+           (GROUP_CONCAT(DISTINCT ?tool; SEPARATOR=",") AS ?tools)
+           (SAMPLE(?conv) AS ?first_conv)
+    WHERE {
+        ?turn p_Turn_Conversation ?conv ; has_role ?rattr .
+        ?rattr has_role_VALUE ?role .
+        OPTIONAL { ?turn has_tool ?tattr . ?tattr has_tool_VALUE ?tool . }
+    }
+    GROUP BY ?role
+    HAVING (COUNT(*) >= 10)
+"""
+
+
+def q_sparql_having_groupconcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G17 (engine extension): HAVING + GROUP_CONCAT(DISTINCT) + SAMPLE
+    compiled from query text — per role, turn count (HAVING-gated), the
+    sorted distinct tool set, and a deterministic sample conversation.
+    Oracle: GROUP BY + HAVING + string_agg(DISTINCT .. ORDER BY) twin."""
+    from knowledgegraphs_spark.operators.sparql import sparql_select
+
+    triples = q_kg_triples_structural(spark, sf_dir).localCheckpoint(eager=True)
+    return sparql_select(triples, _G17_SPARQL)
+
+
+_G17_SQL = f"""
+{_TURNS_NORM_SQL}
+SELECT role, CAST(count(*) AS BIGINT) AS n_turns,
+       COALESCE(string_agg(DISTINCT tool, ',' ORDER BY tool), '') AS tools,
+       min('kg:Conversation_1_' || conv_id) AS first_conv
+FROM turns WHERE role IS NOT NULL
+GROUP BY role HAVING count(*) >= 10
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
@@ -2669,6 +2777,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_entity_pagerank": q_entity_pagerank,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
+        "g15_sparql_construct": q_sparql_construct,
+        "g16_sparql_ask": q_sparql_ask,
+        "g17_sparql_having_groupconcat": q_sparql_having_groupconcat,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -2747,6 +2858,9 @@ def oracle_sql() -> dict[str, str]:
         "g12_entity_pagerank": _pagerank_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,
+        "g15_sparql_construct": _G15_SQL,
+        "g16_sparql_ask": _G16_SQL,
+        "g17_sparql_having_groupconcat": _G17_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,

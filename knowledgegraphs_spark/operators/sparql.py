@@ -66,11 +66,21 @@ Scope (documented, not silently wrong):
   of which one is unbound, SPARQL would still compare the bound ones —
   keep MINUS groups over always-bound variables (the normal case).
 - Aggregates: COUNT(*) / COUNT(?v) / COUNT(DISTINCT ?v) / SUM / AVG /
-  MIN / MAX with GROUP BY; SUM/AVG cast the string-typed object column to
-  double (the store keeps literal reprs — ``triples.py:literal_repr``).
-  The projection emits the declared SELECT items in their declared order;
-  GROUP BY variables the query didn't project are dropped after the
-  aggregation, per the spec.
+  MIN / MAX / GROUP_CONCAT(?v; SEPARATOR "s") / SAMPLE with GROUP BY and
+  HAVING (aggregate calls inside HAVING compute in the same hash-agg
+  pass); SUM/AVG cast the string-typed object column to double (the
+  store keeps literal reprs — ``triples.py:literal_repr``). GROUP_CONCAT
+  sorts its values (the spec leaves the order undefined; sorting makes
+  the result deterministic across partitionings); SAMPLE picks the
+  minimum (the spec allows any group member). The projection emits the
+  declared SELECT items in their declared order; GROUP BY variables the
+  query didn't project are dropped after the aggregation, per the spec.
+- Query forms: SELECT (``sparql_select``), ASK (``sparql_ask`` — one
+  boolean row, the emptiness probed distributedly via a broadcast
+  ``limit(1)``), CONSTRUCT (``sparql_construct`` — template triples as
+  projections of the solution relation, NULL-bound instantiations
+  skipped, set-deduplicated into a ``(subj, pred, obj)`` graph).
+  ``sparql_query`` dispatches on the form.
 """
 
 from __future__ import annotations
@@ -81,7 +91,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sparql_select", "parse_query"]
+__all__ = ["sparql_select", "sparql_ask", "sparql_construct", "sparql_query", "parse_query"]
 
 # --------------------------------------------------------------------------
 # tokenizer
@@ -238,13 +248,28 @@ class Query:
     order_by: list  # (var, ascending)
     limit: int | None
     offset: int | None
+    having: object | None = None  # expression over aggregates / aliases
+
+
+@dataclass
+class AskQuery:
+    where: Group
+
+
+@dataclass
+class ConstructQuery:
+    # template: (s, p, o) triples of Var | Term — no property paths
+    template: list
+    where: Group
+    limit: int | None
+    offset: int | None
 
 
 # --------------------------------------------------------------------------
 # parser
 # --------------------------------------------------------------------------
 
-_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX"}
+_AGG_FUNCS = {"COUNT", "SUM", "AVG", "MIN", "MAX", "GROUP_CONCAT", "SAMPLE"}
 _RDF_TYPE = ("rdf", "type")
 
 
@@ -301,10 +326,50 @@ class _Parser:
             if k2 != "IRI":
                 raise SyntaxError(f"SPARQL: bad PREFIX iri {iri!r}")
             self.prefixes[pfx] = iri[1:-1]
-        q = self._select_query()
+        if self.at_word("ASK"):
+            q: object = self._ask_query()
+        elif self.at_word("CONSTRUCT"):
+            q = self._construct_query()
+        else:
+            q = self._select_query()
         if self.peek()[0] != "EOF":
             raise SyntaxError(f"SPARQL: trailing input at {self.peek()[1]!r}")
         return q
+
+    def _ask_query(self) -> AskQuery:
+        # AskQuery ::= 'ASK' WhereClause; WHERE keyword optional (§17 grammar)
+        self.eat_word("ASK")
+        if self.at_word("WHERE"):
+            self.next()
+        return AskQuery(self._group())
+
+    def _construct_query(self) -> ConstructQuery:
+        self.eat_word("CONSTRUCT")
+        tmpl_group = self._group()  # templates share triples-block syntax
+        template: list = []
+        for el in tmpl_group.elements:
+            if not isinstance(el, Bgp):
+                raise SyntaxError("SPARQL: CONSTRUCT template must contain only triples")
+            for s, p, o in el.triples:
+                if isinstance(p, PathIri):
+                    p = Term(p.iri)
+                elif not isinstance(p, (Var, Term)):
+                    raise SyntaxError("SPARQL: property paths not allowed in CONSTRUCT template")
+                template.append((s, p, o))
+        if self.at_word("WHERE"):
+            self.next()
+        where = self._group()
+        limit = offset = None
+        while True:
+            if self.at_word("LIMIT"):
+                self.next()
+                limit = int(self.next()[1])
+            elif self.at_word("OFFSET"):
+                self.next()
+                offset = int(self.next()[1])
+            else:
+                break
+        return ConstructQuery(template, where, limit, offset)
 
     def _select_query(self) -> Query:
         self.eat_word("SELECT")
@@ -331,12 +396,16 @@ class _Parser:
         group_by: list[str] = []
         order_by: list[tuple[str, bool]] = []
         limit = offset = None
+        having = None
         while True:
             if self.at_word("GROUP"):
                 self.next()
                 self.eat_word("BY")
                 while self.peek()[0] == "VAR":
                     group_by.append(self.next()[1][1:])
+            elif self.at_word("HAVING"):
+                self.next()
+                having = self._bracketted_expr()
             elif self.at_word("ORDER"):
                 self.next()
                 self.eat_word("BY")
@@ -359,10 +428,11 @@ class _Parser:
                 offset = int(self.next()[1])
             else:
                 break
-        return Query(select, distinct, where, group_by, order_by, limit, offset)
+        return Query(select, distinct, where, group_by, order_by, limit, offset, having)
 
-    def _select_expr_item(self) -> SelectItem:
-        self.eat_op("(")
+    def _agg_call(self) -> tuple:
+        """``FUNC ( [DISTINCT] ?v | * [; SEPARATOR = "s"] )`` →
+        (func, distinct, arg, separator)."""
         func = self.eat_word(*_AGG_FUNCS)
         self.eat_op("(")
         distinct = False
@@ -376,13 +446,27 @@ class _Parser:
             arg = Var(v[1:])
         else:
             raise SyntaxError(f"SPARQL: aggregate over {v!r} unsupported (vars or * only)")
+        sep = " "  # the spec's default GROUP_CONCAT separator
+        if self.peek()[1] == ";":
+            self.next()
+            self.eat_word("SEPARATOR")
+            self.eat_op("=")
+            k2, v2 = self.next()
+            if k2 != "STRING":
+                raise SyntaxError("SPARQL: SEPARATOR must be a string literal")
+            sep = self._term_token(k2, v2).text
         self.eat_op(")")
+        return (func, distinct, arg, sep)
+
+    def _select_expr_item(self) -> SelectItem:
+        self.eat_op("(")
+        agg = self._agg_call()
         self.eat_word("AS")
         k, v = self.next()
         if k != "VAR":
             raise SyntaxError("SPARQL: AS must bind a ?variable")
         self.eat_op(")")
-        return SelectItem(agg=(func, distinct, arg), alias=v[1:])
+        return SelectItem(agg=agg, alias=v[1:])
 
     def _group(self) -> Group:
         self.eat_op("{")
@@ -680,6 +764,10 @@ class _Parser:
         if k == "VAR":
             self.next()
             return Var(v[1:])
+        if k == "WORD" and v.upper() in _AGG_FUNCS and self.peek(1)[1] == "(":
+            # aggregate call inside an expression — only legal in HAVING;
+            # _eval_query rewrites these to extra aggregation columns
+            return ("agg", *self._agg_call())
         if k == "WORD" and v.upper() in _BUILTINS:
             self.next()
             name = v.upper()
@@ -705,8 +793,9 @@ _BUILTINS = {
 }
 
 
-def parse_query(text: str) -> Query:
-    """Parse SPARQL SELECT text into the algebra this module evaluates."""
+def parse_query(text: str) -> Query | AskQuery | ConstructQuery:
+    """Parse SPARQL SELECT / ASK / CONSTRUCT text into the algebra this
+    module evaluates."""
     return _Parser(text).parse()
 
 
@@ -1042,6 +1131,10 @@ def _compile_expr(e, df: DataFrame) -> Column:
         vals = [x.text if isinstance(x, Term) else _compile_operand(x, df) for x in e[2]]
         c = l.isin(*vals) if vals else F.lit(False)
         return ~c if op == "not in" else c
+    if op == "agg":
+        raise ValueError(
+            "SPARQL: aggregate calls are only allowed in HAVING (or SELECT expressions)"
+        )
     if op == "call":
         name, args = e[1], [a for a in e[2]]
         a0 = _compile_operand(args[0], df)
@@ -1086,6 +1179,41 @@ _AGG_BUILDERS = {
 }
 
 
+def _agg_expr(func: str, distinct: bool, arg, sep: str, alias: str) -> Column:
+    col = F.lit(1) if arg == "*" else F.col(arg.name)
+    if func == "COUNT" and distinct:
+        return F.countDistinct(col).alias(alias)
+    if func == "GROUP_CONCAT":
+        # the spec leaves GROUP_CONCAT order undefined; sorting the values
+        # makes the result deterministic across partitionings (and lets a
+        # relational twin reproduce it with string_agg(... ORDER BY ...))
+        coll = F.collect_set(col) if distinct else F.collect_list(col)
+        return F.array_join(F.sort_array(coll), sep).alias(alias)
+    if distinct:
+        raise ValueError("SPARQL: DISTINCT only supported inside COUNT/GROUP_CONCAT")
+    if func == "SAMPLE":
+        # spec: any value from the group; min is a deterministic choice
+        return F.min(col).alias(alias)
+    return _AGG_BUILDERS[func](col).alias(alias)
+
+
+def _rewrite_having(e, extra: list):
+    """Replace ('agg', func, distinct, arg, sep) atoms in a HAVING
+    expression with fresh ``__hN`` variables, collecting the aggregate
+    specs so the GROUP BY computes them alongside the SELECT aggregates."""
+    if isinstance(e, tuple) and e and e[0] == "agg":
+        name = f"__h{len(extra)}"
+        extra.append((*e[1:], name))
+        return Var(name)
+    if isinstance(e, tuple):
+        if e[0] in ("in", "not in"):
+            return (e[0], _rewrite_having(e[1], extra), [_rewrite_having(x, extra) for x in e[2]])
+        if e[0] == "call":
+            return ("call", e[1], [_rewrite_having(x, extra) for x in e[2]])
+        return (e[0], *[_rewrite_having(x, extra) for x in e[1:]])
+    return e
+
+
 def sparql_select(triples: DataFrame, query: str | Query) -> DataFrame:
     """Evaluate a SPARQL SELECT query against ``triples(subj, pred, obj)``.
 
@@ -1095,6 +1223,75 @@ def sparql_select(triples: DataFrame, query: str | Query) -> DataFrame:
     no Python in the row path.
     """
     q = parse_query(query) if isinstance(query, str) else query
+    if not isinstance(q, Query):
+        raise TypeError("sparql_select: not a SELECT query — use sparql_ask/sparql_construct")
+    return _eval_query(triples, q)
+
+
+def sparql_ask(triples: DataFrame, query: str | AskQuery) -> DataFrame:
+    """Evaluate a SPARQL ASK query: one row, one boolean column ``ask``.
+
+    The pattern's emptiness is probed distributedly — ``limit(1)`` over
+    the compiled group pattern, broadcast against a 1-row anchor — so no
+    driver-side collect decides the answer.
+    """
+    q = parse_query(query) if isinstance(query, str) else query
+    if not isinstance(q, AskQuery):
+        raise TypeError("sparql_ask: not an ASK query")
+    hit = _eval_group(triples, q.where).limit(1).select(F.lit(1).alias("__hit"))
+    anchor = triples.sparkSession.range(1)
+    return anchor.join(F.broadcast(hit), F.lit(True), "left").select(
+        F.col("__hit").isNotNull().alias("ask")
+    )
+
+
+def sparql_construct(triples: DataFrame, query: str | ConstructQuery) -> DataFrame:
+    """Evaluate a SPARQL CONSTRUCT query → a graph as ``(subj, pred, obj)``.
+
+    Each template triple is a projection of the solution relation
+    (constants become literals); solutions leaving a template position
+    unbound (NULL, e.g. from OPTIONAL) skip that instantiation, and the
+    union is set-deduplicated — both per the spec (a CONSTRUCT result is
+    an RDF graph). A template variable the WHERE clause never binds drops
+    that template triple for every solution, equivalently.
+    """
+    q = parse_query(query) if isinstance(query, str) else query
+    if not isinstance(q, ConstructQuery):
+        raise TypeError("sparql_construct: not a CONSTRUCT query")
+    sol = _eval_group(triples, q.where)
+    if q.offset:
+        sol = sol.offset(q.offset)
+    if q.limit is not None:
+        sol = sol.limit(q.limit)
+    parts = []
+    for s, p, o in q.template:
+        cols, ok = [], True
+        for term, name in ((s, "subj"), (p, "pred"), (o, "obj")):
+            if isinstance(term, Var):
+                if term.name not in sol.columns:
+                    ok = False
+                    break
+                cols.append(F.col(term.name).cast("string").alias(name))
+            else:
+                cols.append(F.lit(term.text).alias(name))
+        if ok:
+            parts.append(sol.select(*cols).na.drop())
+    if not parts:
+        schema = "subj string, pred string, obj string"
+        return triples.sparkSession.createDataFrame([], schema)
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df)
+    return out.dropDuplicates()
+
+
+def sparql_query(triples: DataFrame, query: str) -> DataFrame:
+    """Dispatch on the query form: SELECT, ASK, or CONSTRUCT."""
+    q = parse_query(query)
+    if isinstance(q, AskQuery):
+        return sparql_ask(triples, q)
+    if isinstance(q, ConstructQuery):
+        return sparql_construct(triples, q)
     return _eval_query(triples, q)
 
 
@@ -1107,31 +1304,30 @@ def _eval_query(triples: DataFrame, q: Query) -> DataFrame:
     else:
         items = q.select
     aggs = [it for it in items if it.agg]
-    if aggs:
+    having_extra: list = []
+    having_expr = (
+        _rewrite_having(q.having, having_extra) if getattr(q, "having", None) is not None else None
+    )
+    if aggs or (q.group_by and having_expr is not None):
         plain = [it.var for it in items if it.var]
         if set(plain) - set(q.group_by):
             raise ValueError("SPARQL: non-aggregated SELECT vars must appear in GROUP BY")
-        exprs = []
-        for it in aggs:
-            func, distinct, arg = it.agg
-            if arg == "*":
-                col = F.lit(1)
-            else:
-                col = F.col(arg.name)
-            if distinct:
-                if func != "COUNT":
-                    raise ValueError("SPARQL: DISTINCT only supported inside COUNT")
-                exprs.append(F.countDistinct(col).alias(it.alias))
-            else:
-                exprs.append(_AGG_BUILDERS[func](col).alias(it.alias))
+        exprs = [_agg_expr(*it.agg, it.alias) for it in aggs]
+        # HAVING aggregates (rewritten to __hN) compute in the same pass
+        exprs += [_agg_expr(*spec) for spec in having_extra]
         df = df.groupBy(*q.group_by).agg(*exprs) if q.group_by else df.agg(*exprs)
+        if having_expr is not None:
+            df = df.filter(_compile_expr(having_expr, df))
         # project the DECLARED SELECT items, in declared order (ADVICE r3:
         # emitting group_by + aliases returned unprojected group vars and
         # ignored SELECT-item order); group vars the query didn't project
-        # are dropped after the aggregation, per the spec
+        # (and the __hN HAVING columns) are dropped after the aggregation,
+        # per the spec
         out_cols = [it.var if it.var else it.alias for it in items]
         df = df.select(*out_cols)
     else:
+        if having_expr is not None:
+            raise ValueError("SPARQL: HAVING requires aggregation")
         if q.group_by:
             raise ValueError("SPARQL: GROUP BY without aggregates in SELECT")
         missing = [it.var for it in items if it.var not in df.columns]

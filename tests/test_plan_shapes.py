@@ -26,6 +26,10 @@ SF = "/root/testdata/sf0.001"
 NESTED_LOOP_OK = {
     "s1_simsearch_topk",
     "d5_dedup_embedding",
+    # ASK probes emptiness by broadcast-joining a limit(1) projection of
+    # the pattern against a 1-row anchor — the nested-loop side is at most
+    # one row by construction (operators/sparql.py:sparql_ask)
+    "g16_sparql_ask",
 }
 
 

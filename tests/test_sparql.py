@@ -740,3 +740,201 @@ def test_plan_has_pushed_filters_and_no_python(tbox):
     plan = sparql_select(tbox, query)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+# -------------------------------------------------------------------------
+# ASK / CONSTRUCT query forms, HAVING, GROUP_CONCAT / SAMPLE aggregates
+# -------------------------------------------------------------------------
+
+
+def test_ask_true_and_false(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_ask
+
+    q_hit = f"{SW_PREFIXES} ASK {{ ?c rdfs:subClassOf PO:TableClass . }}"
+    q_miss = f"{SW_PREFIXES} ASK WHERE {{ ?c rdfs:subClassOf PO:NoSuchClass . }}"
+    assert rows(sparql_ask(tbox, q_hit)) == [(True,)]
+    assert rows(sparql_ask(tbox, q_miss)) == [(False,)]
+    # distributed emptiness probe: single boolean column named 'ask'
+    assert sparql_ask(tbox, q_hit).columns == ["ask"]
+
+
+def test_ask_respects_filters(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_ask
+
+    q = f"""{SW_PREFIXES} ASK {{
+        ?c rdfs:label ?l . FILTER (STRLEN(?l) > 100)
+    }}"""
+    assert rows(sparql_ask(tbox, q)) == [(False,)]
+
+
+def test_construct_basic_template(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_construct
+
+    q = f"""{SW_PREFIXES}
+        CONSTRUCT {{ ?c <{PO}isTable> 'yes' . }}
+        WHERE {{ ?c rdfs:subClassOf PO:TableClass ; rdfs:label ?l . }}"""
+    got = rows(sparql_construct(tbox, q))
+    assert got == [
+        (PO + "Address", PO + "isTable", "yes"),
+        (PO + "Person", PO + "isTable", "yes"),
+    ]
+
+
+def test_construct_multi_template_and_set_semantics(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_construct
+
+    # two template triples per solution; Person has several subClassOf
+    # solutions → duplicates that the set semantics must fold
+    q = f"""{SW_PREFIXES}
+        CONSTRUCT {{
+            ?c a <{PO}Table> .
+            ?c <{PO}label_copy> ?l .
+        }}
+        WHERE {{ ?c rdfs:subClassOf ?super ; rdfs:label ?l . }}"""
+    got = rows(sparql_construct(tbox, q))
+    assert (PO + "Person", "rdf:type", PO + "Table") in [
+        (s, p, o) for (s, p, o) in got
+    ] or (PO + "Person", RDF + "type", PO + "Table") in got
+    # exactly one rdf:type row per class and one label_copy per class
+    person_rows = [r for r in got if r[0] == PO + "Person"]
+    assert len(person_rows) == 2
+
+
+def test_construct_null_bound_template_var_skipped(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_construct
+
+    # ?lbl is OPTIONAL — classes without labels must not emit a triple
+    # with a NULL object (spec: invalid instantiations are skipped)
+    q = f"""{SW_PREFIXES}
+        CONSTRUCT {{ ?c <{PO}hasLabel> ?lbl . }}
+        WHERE {{
+            ?c rdfs:subClassOf PO:TableClass .
+            OPTIONAL {{ ?c rdfs:label ?lbl . }}
+        }}"""
+    got = rows(sparql_construct(tbox, q))
+    assert got == [
+        (PO + "Address", PO + "hasLabel", "Address"),
+        (PO + "Person", PO + "hasLabel", "Person"),
+    ]
+    # C1 matches the direct subClassOf pattern but has no label → its
+    # instantiation is skipped entirely, never emitted with a NULL object
+    assert all(o is not None for (_, _, o) in got)
+
+
+def test_construct_unbound_template_var_drops_pattern(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_construct
+
+    q = f"""{SW_PREFIXES}
+        CONSTRUCT {{ ?c <{PO}p1> 'k' . ?c <{PO}p2> ?never . }}
+        WHERE {{ ?c rdfs:subClassOf PO:TableClass ; rdfs:label ?l . }}"""
+    got = rows(sparql_construct(tbox, q))
+    assert {p for (_, p, _) in got} == {PO + "p1"}
+
+
+def test_group_concat_sorted_and_separator(tbox):
+    q = f"""{SW_PREFIXES}
+        SELECT (GROUP_CONCAT(?l; SEPARATOR=",") AS ?all_labels)
+        WHERE {{ ?c rdfs:subClassOf PO:TableClass ; rdfs:label ?l . }}"""
+    assert rows(sparql_select(tbox, q)) == [("Address,Person",)]
+
+
+def test_group_concat_default_separator_is_space(tbox):
+    q = f"""{SW_PREFIXES}
+        SELECT (GROUP_CONCAT(?l) AS ?all_labels)
+        WHERE {{ ?c rdfs:subClassOf PO:TableClass ; rdfs:label ?l . }}"""
+    assert rows(sparql_select(tbox, q)) == [("Address Person",)]
+
+
+def test_group_concat_distinct(spark):
+    t = spark.createDataFrame(
+        [("s1", "p", "a"), ("s1", "p", "a"), ("s1", "p", "b")],
+        "subj string, pred string, obj string",
+    )
+    q = """SELECT ?s (GROUP_CONCAT(DISTINCT ?o; SEPARATOR="|") AS ?os)
+           WHERE { ?s p ?o . } GROUP BY ?s"""
+    assert rows(sparql_select(t, q)) == [("s1", "a|b")]
+
+
+def test_sample_is_deterministic_min(tbox):
+    q = f"""{SW_PREFIXES}
+        SELECT (SAMPLE(?l) AS ?one)
+        WHERE {{ ?c rdfs:label ?l . }}"""
+    # SAMPLE = min: '(' sorts before any letter in the TBOX labels
+    assert rows(sparql_select(tbox, q)) == [("(0010,0010)",)]
+
+
+def test_having_with_aggregate_not_in_select(tbox):
+    # HAVING over COUNT(*) while SELECT carries only the group var
+    q = f"""{SW_PREFIXES}
+        SELECT ?c WHERE {{ ?c rdfs:subClassOf ?s . }}
+        GROUP BY ?c HAVING (COUNT(*) >= 3)"""
+    assert rows(sparql_select(tbox, q)) == [(PO + "Person",)]
+
+
+def test_having_over_select_alias_and_combined(tbox):
+    q = f"""{SW_PREFIXES}
+        SELECT ?c (COUNT(*) AS ?n) WHERE {{ ?c rdfs:subClassOf ?s . }}
+        GROUP BY ?c HAVING (?n >= 2 && COUNT(*) < 3)"""
+    assert rows(sparql_select(tbox, q)) == [
+        (PO + "Address", 2),
+        (PO + "street_attr", 2),
+    ]
+
+
+def test_having_without_group_raises(tbox):
+    import pytest as _pytest
+
+    q = f"{SW_PREFIXES} SELECT ?c WHERE {{ ?c rdfs:label ?l . }} HAVING (COUNT(*) > 1)"
+    with _pytest.raises(ValueError, match="HAVING requires aggregation"):
+        sparql_select(tbox, q).collect()
+
+
+def test_aggregate_in_filter_raises(tbox):
+    import pytest as _pytest
+
+    q = f"{SW_PREFIXES} SELECT ?c WHERE {{ ?c rdfs:label ?l . FILTER (COUNT(*) > 1) }}"
+    with _pytest.raises(ValueError, match="aggregate calls"):
+        sparql_select(tbox, q).collect()
+
+
+def test_form_dispatch_and_wrong_form_raises(tbox):
+    import pytest as _pytest
+
+    from knowledgegraphs_spark.operators.sparql import (
+        sparql_ask,
+        sparql_construct,
+        sparql_query,
+    )
+
+    ask_text = f"{SW_PREFIXES} ASK {{ ?c rdfs:label ?l . }}"
+    sel_text = f"{SW_PREFIXES} SELECT ?c WHERE {{ ?c rdfs:label ?l . }}"
+    with _pytest.raises(TypeError, match="not a SELECT"):
+        sparql_select(tbox, ask_text)
+    with _pytest.raises(TypeError, match="not an ASK"):
+        sparql_ask(tbox, sel_text)
+    with _pytest.raises(TypeError, match="not a CONSTRUCT"):
+        sparql_construct(tbox, sel_text)
+    assert rows(sparql_query(tbox, ask_text)) == [(True,)]
+    assert len(rows(sparql_query(tbox, sel_text))) > 0
+
+
+def test_ask_and_construct_plans_stay_jvm_side(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_ask, sparql_construct
+
+    ask_plan = (
+        sparql_ask(tbox, f"{SW_PREFIXES} ASK {{ ?c rdfs:label ?l . }}")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    con_plan = (
+        sparql_construct(
+            tbox,
+            f"{SW_PREFIXES} CONSTRUCT {{ ?c <{PO}p> ?l . }} WHERE {{ ?c rdfs:label ?l . }}",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for plan in (ask_plan, con_plan):
+        assert "BatchEvalPython" not in plan
