@@ -20,6 +20,25 @@ def _java_opts(driver_mem: str) -> str:
     return opts
 
 
+# Engine-required SQL confs, independent of deployment: shared by
+# :func:`get_spark` (local/test sessions) and ``jobs/build_kg.py`` (the
+# spark-submit path, where master/memory/parallelism come from the submit
+# command and must NOT be overridden here).
+ENGINE_SQL_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # zstd: half the bytes of snappy on long repetitive URI strings at
+    # equal wall time (BENCH/BASELINE.md) — at 100 TB the triples table
+    # size is the cost driver.
+    "spark.sql.parquet.compression.codec": "zstd",
+}
+
+
 def get_spark(
     app_name: str = "knowledgegraphs_spark",
     master: str | None = None,
@@ -37,15 +56,9 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config(map=dict(ENGINE_SQL_CONFS))
         .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # throughput GC: G1 collapses (observed 17×) on generate-heavy plans
         # (explode of array<struct> — our single-pass triple emission) with a
         # large heap and many task threads; ParallelGC sustains the
@@ -65,10 +78,6 @@ def get_spark(
         # allocate the container's memory once, up front.
         .config("spark.driver.extraJavaOptions", _java_opts(driver_mem))
         .config("spark.executor.extraJavaOptions", _java_opts(driver_mem))
-        # zstd: half the bytes of snappy on long repetitive URI strings at
-        # equal wall time (BENCH/BASELINE.md) — at 100 TB the triples table
-        # size is the cost driver.
-        .config("spark.sql.parquet.compression.codec", "zstd")
     )
     # shuffle spill dir: tmpfs when available — on this sandbox /tmp is a
     # spinning-ish vdisk whose writeback throttling dominates and distorts
