@@ -106,19 +106,170 @@ def test_submit_pyfiles_full_build_matches_inprocess(spark, turns_input):
     assert summary2["triples"] == summary["triples"]
 
 
-def test_submit_pyfiles_structural_store(spark, turns_input):
-    from knowledgegraphs_spark.operators.triples import read_triples
-
+@pytest.fixture(scope="module")
+def structural_store(turns_input):
+    """A bucketed store built by the submit path itself (shared by the
+    structural-mode assertion and the query-job test)."""
     tmp, input_path = turns_input
     zpath = _zip_package(tmp)
     workdir = tmp / "kg_structural"
-
     summary = _submit(
         tmp, zpath,
         "--input", input_path, "--workdir", str(workdir),
         "--mode", "structural", "--store-buckets", "4",
     )
+    return tmp, zpath, summary
+
+
+def test_submit_pyfiles_structural_store(spark, structural_store):
+    from knowledgegraphs_spark.operators.triples import read_triples
+
+    _tmp, _zpath, summary = structural_store
     store = read_triples(spark, summary["store"])
     assert store.count() == summary["triples"] > 0
     # the store keeps its bucket metadata → point lookups stay prunable
     assert getattr(store, "_kg_subj_buckets", None) == 4
+
+
+def _submit_query(tmp: Path, zpath: Path, *job_args: str) -> tuple[dict, list[str]]:
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", str(zpath),
+            str(REPO / "jobs" / "query_kg.py"),
+            *job_args,
+        ],
+        cwd=tmp, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON in stdout:\n{proc.stdout[-2000:]}"
+    return json.loads(lines[-1]), lines[:-1]
+
+
+def test_submit_query_job_select_to_parquet(spark, structural_store):
+    """The query job answers SPARQL against the submitted store, writing
+    bindings to parquet; values match the in-process compiler on the
+    same store (what's under test is the submit plumbing: zip import,
+    bucket-metadata sidecar, output path, summary line)."""
+    from knowledgegraphs_spark.operators.sparql import sparql_query
+    from knowledgegraphs_spark.operators.triples import read_triples
+
+    tmp, zpath, summary = structural_store
+    # the store reifies attributes (has_role → attr node → has_role_VALUE),
+    # so the role filter is a path sequence — through the submit surface
+    query = "SELECT ?t WHERE { ?t rdf:type kg:Turn ; has_role/has_role_VALUE 'user' . }"
+    out = tmp / "bindings.parquet"
+
+    qsum, _printed = _submit_query(
+        tmp, zpath,
+        "--store", summary["store"], "--query", query, "--output", str(out),
+    )
+    got = sorted(r.t for r in spark.read.parquet(str(out)).collect())
+    expected = sorted(
+        r.t for r in sparql_query(read_triples(spark, summary["store"]), query).collect()
+    )
+    assert qsum["rows"] == len(expected) > 0
+    assert got == expected
+
+
+def _submit_job(tmp: Path, zpath: Path, job: str, *job_args: str) -> dict:
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    proc = subprocess.run(
+        [
+            SPARK_SUBMIT,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", str(zpath),
+            str(REPO / "jobs" / job),
+            *job_args,
+        ],
+        cwd=tmp, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert lines, f"no JSON summary in stdout:\n{proc.stdout[-2000:]}"
+    return json.loads(lines[-1])
+
+
+def test_submit_update_job_maintains_across_processes(spark, tmp_path):
+    """The scheduled-maintenance deployment: files land, a fresh
+    spark-submit process drains them, a LATER process picks up only the
+    new arrivals from the shared checkpoint (exactly-once across process
+    boundaries, not just across same-session restarts), ``--compact``
+    folds the committed deltas, and the final store equals an in-process
+    twin maintained on the same arrival order."""
+    import datetime
+
+    from knowledgegraphs_spark.streaming.maintenance import (
+        read_maintained_triples,
+        stream_kg_maintenance,
+    )
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ts = datetime.datetime(2026, 1, 5, 12, 0, 0)
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [(c, i, "user", t, None, ts) for (c, i, t) in rows], schema
+        )
+
+    b1 = [("c1", 0, "we met Acme Corp about the plan"),
+          ("c2", 0, "talked to Widget Works yesterday")]
+    b2 = [("c3", 0, "call with Acme Corp again"),
+          ("c1", 1, "closing note on Widget Works")]
+
+    zpath = _zip_package(tmp_path)
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    store, ckpt = tmp_path / "store", tmp_path / "ckpt"
+
+    turns(b1).coalesce(1).write.parquet(str(landing / "arrival=1"))
+    s1 = _submit_job(
+        tmp_path, zpath, "update_kg.py",
+        "--input", str(landing), "--store", str(store), "--checkpoint", str(ckpt),
+    )
+    assert s1["triples"] > 0 and s1["entities"] > 0
+
+    turns(b2).coalesce(1).write.parquet(str(landing / "arrival=2"))
+    s2 = _submit_job(
+        tmp_path, zpath, "update_kg.py",
+        "--input", str(landing), "--store", str(store), "--checkpoint", str(ckpt),
+        "--compact",
+    )
+    assert s2["triples"] > s1["triples"]
+    assert s2["folded_batches"], s2  # the drain's deltas were folded
+
+    # twin maintained in-process on the same arrivals
+    twin_in, twin_store, twin_ckpt = tmp_path / "t_in", tmp_path / "t_store", tmp_path / "t_ckpt"
+    twin_in.mkdir()
+    turns(b1).coalesce(1).write.parquet(str(twin_in / "arrival=1"))
+    stream_kg_maintenance(spark, str(twin_in), str(twin_store), str(twin_ckpt)).awaitTermination(180)
+    turns(b2).coalesce(1).write.parquet(str(twin_in / "arrival=2"))
+    stream_kg_maintenance(spark, str(twin_in), str(twin_store), str(twin_ckpt)).awaitTermination(180)
+
+    def trips(path):
+        return {
+            (r.subj, r.pred, r.obj)
+            for r in read_maintained_triples(spark, str(path)).collect()
+        }
+
+    assert trips(store) == trips(twin_store)
+
+
+def test_submit_query_job_ask_prints(structural_store):
+    tmp, zpath, summary = structural_store
+    qsum, printed = _submit_query(
+        tmp, zpath,
+        "--store", summary["store"],
+        "--query", "ASK { ?t rdf:type kg:Turn }",
+    )
+    assert qsum["rows"] == 1
+    assert json.loads(printed[-1]) == {"ask": True}
