@@ -2061,6 +2061,45 @@ GROUP BY role HAVING count(*) >= 10
 """.strip()
 
 
+_G18_SPARQL = """
+    SELECT ?conv ?turn ?v WHERE {
+        ?turn rdf:type kg:Turn .
+        ?conv ^p_Turn_Conversation ?turn .
+        ?turn !(rdf:type|has_role|has_text|has_tool|has_ts) ?conv2 .
+        FILTER (?conv2 = ?conv)
+        ?turn has_role/has_role_VALUE|has_tool/has_tool_VALUE ?v .
+    }
+"""
+
+
+def q_sparql_path_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G18 (engine extension): the full property-path algebra in one query
+    text — inverse (``^``), negated property set (``!(...)`` — a Turn's
+    only non-excluded edge is its conversation link), sequence (``/``
+    through the reified attribute node), and alternative (``|`` over the
+    role and tool value paths), plus a variable-variable FILTER. Each path
+    form compiles to filtered scans + hash joins (the NPS is a NOT-IN
+    filtered scan per direction); the oracle is the closed form straight
+    off the normalized turns table."""
+    from knowledgegraphs_spark.operators.sparql import sparql_select
+
+    triples = q_kg_triples_structural(spark, sf_dir).localCheckpoint(eager=True)
+    return sparql_select(triples, _G18_SPARQL)
+
+
+_G18_SQL = f"""
+{_TURNS_NORM_SQL}
+SELECT 'kg:Conversation_1_' || conv_id AS conv,
+       'kg:Turn_2_' || conv_id || '_' || turn_idx AS turn,
+       v
+FROM (
+  SELECT conv_id, turn_idx, role AS v FROM turns WHERE role IS NOT NULL
+  UNION ALL
+  SELECT conv_id, turn_idx, tool FROM turns WHERE tool IS NOT NULL
+)
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
@@ -2780,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g15_sparql_construct": q_sparql_construct,
         "g16_sparql_ask": q_sparql_ask,
         "g17_sparql_having_groupconcat": q_sparql_having_groupconcat,
+        "g18_sparql_path_algebra": q_sparql_path_algebra,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -2861,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
         "g15_sparql_construct": _G15_SQL,
         "g16_sparql_ask": _G16_SQL,
         "g17_sparql_having_groupconcat": _G17_SQL,
+        "g18_sparql_path_algebra": _G18_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,

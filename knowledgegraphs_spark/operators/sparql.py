@@ -43,7 +43,9 @@ Scope (documented, not silently wrong):
   — a NULL join key would silently drop the row where SPARQL treats
   UNDEF as a wildcard.
 - Path modifiers: ``+`` (closure), ``*`` (zero-or-more), ``?``
-  (zero-or-one), ``/`` (sequence), ``|`` (alternative), ``^`` (inverse).
+  (zero-or-one), ``/`` (sequence), ``|`` (alternative), ``^`` (inverse),
+  ``!(...)`` (negated property set — one NOT-IN-filtered scan per
+  direction that has members, spec §18.4 union semantics for mixed sets).
   Zero-length paths bind both ends to the same NODE OF THE GRAPH
   (distinct subjects ∪ objects of the store — one extra scan); a constant
   endpoint that appears nowhere in the graph therefore yields no
@@ -176,6 +178,12 @@ class PathStar:  # zero-or-more: closure ∪ node-universe identity
 @dataclass(frozen=True)
 class PathOpt:  # zero-or-one: single step ∪ node-universe identity
     inner: object
+
+
+@dataclass(frozen=True)
+class PathNeg:  # negated property set: !iri or !(iri|^iri|...)
+    fwd: tuple  # forward members to exclude
+    inv: tuple  # inverse members to exclude (the ^-marked ones)
 
 
 @dataclass
@@ -657,7 +665,10 @@ class _Parser:
             self.next()
             inv = True
         k, v = self.peek()
-        if v == "(":
+        if k == "OP" and v == "!":
+            self.next()
+            p = self._path_neg()
+        elif v == "(":
             self.next()
             p = self._path()
             self.eat_op(")")
@@ -676,6 +687,35 @@ class _Parser:
             self.next()
             p = PathOpt(p)
         return PathInv(p) if inv else p
+
+    def _path_neg(self):
+        """Negated property set: members are IRIs, each optionally
+        ^-inverted — no nested paths or modifiers inside (per the spec's
+        PathNegatedPropertySet grammar)."""
+        fwd: list[str] = []
+        invm: list[str] = []
+
+        def member():
+            inverted = self.peek()[1] == "^"
+            if inverted:
+                self.next()
+            k, v = self.next()
+            if k not in ("IRI", "PNAME", "WORD"):
+                raise SyntaxError(
+                    f"SPARQL: negated property set member must be an IRI, got {v!r}"
+                )
+            (invm if inverted else fwd).append(self._term_token(k, v).text)
+
+        if self.peek()[1] == "(":
+            self.next()
+            member()
+            while self.peek()[1] == "|":
+                self.next()
+                member()
+            self.eat_op(")")
+        else:
+            member()
+        return PathNeg(tuple(fwd), tuple(invm))
 
     # -- expressions ----------------------------------------------------------
     def _bracketted_expr(self):
@@ -844,6 +884,21 @@ def _path_edges(triples: DataFrame, path) -> DataFrame:
     if isinstance(path, PathOpt):
         one = _path_edges(triples, path.inner)
         return one.unionByName(_node_identity(triples)).dropDuplicates()
+    if isinstance(path, PathNeg):
+        # spec §18.4: !(p1|..|pk|^q1|..|^qn) ≡ !(p1|..|pk) ∪ ^!(q1|..|qn) —
+        # a direction contributes only if it has members; each side is one
+        # filtered scan (NOT IN over a literal list stays codegen'd)
+        out = None
+        if path.fwd:
+            out = triples.filter(~F.col("pred").isin(*path.fwd)).select(
+                F.col("subj").alias("s"), F.col("obj").alias("o")
+            )
+        if path.inv:
+            rev = triples.filter(~F.col("pred").isin(*path.inv)).select(
+                F.col("obj").alias("s"), F.col("subj").alias("o")
+            )
+            out = rev if out is None else out.unionByName(rev)
+        return out
     raise TypeError(f"unknown path {path!r}")
 
 

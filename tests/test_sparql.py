@@ -260,6 +260,44 @@ def test_property_path_sequence_alt_inverse(tbox):
     assert rows(sparql_select(tbox, q_inv)) == [(PO + "livesAt",)]
 
 
+def test_negated_property_set_forward(tbox):
+    # every edge out of hasName except its rdfs:label
+    q = f"""{SW_PREFIXES}
+        SELECT ?o WHERE {{ PO:hasName !rdfs:label ?o . }}"""
+    assert rows(sparql_select(tbox, q)) == [("name",), ("name-pref",)]
+    # excluding every property it has → empty
+    q2 = f"""{SW_PREFIXES}
+        SELECT ?o WHERE {{ PO:livesAt !(rdfs:domain|rdfs:range) ?o . }}"""
+    assert rows(sparql_select(tbox, q2)) == []
+
+
+def test_negated_property_set_inverse_and_mixed(tbox):
+    # inverse-only members: who points AT TableClass via anything but label
+    q = f"""{SW_PREFIXES}
+        SELECT ?x WHERE {{ PO:TableClass !(^rdfs:label) ?x . }}"""
+    assert rows(sparql_select(tbox, q)) == [
+        (PO + "Address",),
+        (PO + "C1",),
+        (PO + "Person",),
+    ]
+    # mixed: forward minus label ∪ inverse minus subClassOf (spec §18.4:
+    # !(p|^q) ≡ !p ∪ ^!q — each direction excludes only its own members)
+    q2 = f"""{SW_PREFIXES}
+        SELECT ?x WHERE {{ PO:Person !(rdfs:label|^rdfs:subClassOf) ?x . }}"""
+    assert rows(sparql_select(tbox, q2)) == [
+        (PO + "TableClass",),
+        (PO + "b1",),
+        (PO + "b2",),
+        (PO + "livesAt",),
+        (OWL + "Class",),
+    ]
+
+
+def test_negated_property_set_member_must_be_iri(tbox):
+    with pytest.raises(SyntaxError, match="negated property set"):
+        parse_query(f"{SW_PREFIXES} SELECT ?o WHERE {{ PO:x !(?v) ?o . }}")
+
+
 def test_star_modifier_zero_or_more(tbox):
     # subClassOf* from C3: zero-length (C3 itself) + the full chain —
     # the reference's own ancestor walk (util/Ontology.java:174-209) is
