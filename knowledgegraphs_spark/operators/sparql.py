@@ -81,8 +81,10 @@ Scope (documented, not silently wrong):
   boolean row, the emptiness probed distributedly via a broadcast
   ``limit(1)``), CONSTRUCT (``sparql_construct`` — template triples as
   projections of the solution relation, NULL-bound instantiations
-  skipped, set-deduplicated into a ``(subj, pred, obj)`` graph).
-  ``sparql_query`` dispatches on the form.
+  skipped, set-deduplicated into a ``(subj, pred, obj)`` graph),
+  DESCRIBE (``sparql_describe`` — outgoing-edge Concise Bounded
+  Description of constants ∪ variable bindings, a left-semi join on
+  ``subj``). ``sparql_query`` dispatches on the form.
 """
 
 from __future__ import annotations
@@ -273,6 +275,13 @@ class ConstructQuery:
     offset: int | None
 
 
+@dataclass
+class DescribeQuery:
+    resources: list  # Var | Term; empty with star=True
+    where: object | None  # Group | None
+    star: bool = False
+
+
 # --------------------------------------------------------------------------
 # parser
 # --------------------------------------------------------------------------
@@ -338,6 +347,8 @@ class _Parser:
             q: object = self._ask_query()
         elif self.at_word("CONSTRUCT"):
             q = self._construct_query()
+        elif self.at_word("DESCRIBE"):
+            q = self._describe_query()
         else:
             q = self._select_query()
         if self.peek()[0] != "EOF":
@@ -378,6 +389,37 @@ class _Parser:
             else:
                 break
         return ConstructQuery(template, where, limit, offset)
+
+    def _describe_query(self) -> DescribeQuery:
+        # DescribeQuery ::= 'DESCRIBE' (VarOrIri+ | '*') WhereClause?
+        self.eat_word("DESCRIBE")
+        resources: list = []
+        star = False
+        if self.peek() == ("OP", "*"):
+            self.next()
+            star = True
+        else:
+            while True:
+                k, v = self.peek()
+                if k == "VAR":
+                    self.next()
+                    resources.append(Var(v[1:]))
+                elif k in ("IRI", "PNAME"):
+                    self.next()
+                    resources.append(self._term_token(k, v))
+                else:
+                    break
+            if not resources:
+                raise SyntaxError("SPARQL: DESCRIBE needs resources or *")
+        where = None
+        if self.at_word("WHERE"):
+            self.next()
+            where = self._group()
+        elif self.peek()[1] == "{":
+            where = self._group()
+        if star and where is None:
+            raise SyntaxError("SPARQL: DESCRIBE * requires a WHERE clause")
+        return DescribeQuery(resources, where, star)
 
     def _select_query(self) -> Query:
         self.eat_word("SELECT")
@@ -833,7 +875,7 @@ _BUILTINS = {
 }
 
 
-def parse_query(text: str) -> Query | AskQuery | ConstructQuery:
+def parse_query(text: str) -> Query | AskQuery | ConstructQuery | DescribeQuery:
     """Parse SPARQL SELECT / ASK / CONSTRUCT text into the algebra this
     module evaluates."""
     return _Parser(text).parse()
@@ -1340,13 +1382,60 @@ def sparql_construct(triples: DataFrame, query: str | ConstructQuery) -> DataFra
     return out.dropDuplicates()
 
 
+def sparql_describe(triples: DataFrame, query: str | DescribeQuery) -> DataFrame:
+    """Evaluate a SPARQL DESCRIBE query → a graph as ``(subj, pred, obj)``.
+
+    The spec leaves the description shape implementation-defined (§16.4);
+    this engine returns each resource's OUTGOING edges — the Concise
+    Bounded Description, which on this store's skolemized blank nodes
+    needs no recursive blank-node chase. Incoming edges are one ``^`` or
+    NPS query away when a caller wants them. The resource set (constants
+    ∪ the distinct bindings of each DESCRIBE variable, ∪ every projected
+    variable for ``DESCRIBE *``) joins the store as a left-semi join on
+    ``subj`` — on a ``write_triples`` store a small resource set prunes
+    to its subject buckets like any constant-subject lookup. Unbound
+    variables (no WHERE clause) describe nothing, per the empty-solution
+    semantics.
+    """
+    q = parse_query(query) if isinstance(query, str) else query
+    if not isinstance(q, DescribeQuery):
+        raise TypeError("sparql_describe: not a DESCRIBE query")
+    spark = triples.sparkSession
+    sources: list[DataFrame] = []
+    var_names = [r.name for r in q.resources if isinstance(r, Var)]
+    if q.where is not None:
+        sol = _eval_group(triples, q.where)
+        names = (
+            [c for c in sol.columns if not c.startswith("__")] if q.star else
+            [n for n in var_names if n in sol.columns]
+        )
+        for n in names:
+            sources.append(sol.select(F.col(n).cast("string").alias("__res")))
+    consts = [r.text for r in q.resources if isinstance(r, Term)]
+    if consts:
+        sources.append(spark.createDataFrame([(c,) for c in consts], "__res string"))
+    if not sources:
+        return spark.createDataFrame([], "subj string, pred string, obj string")
+    res = sources[0]
+    for s_df in sources[1:]:
+        res = res.unionByName(s_df)
+    res = res.na.drop().dropDuplicates()
+    return (
+        triples.join(res, triples["subj"] == res["__res"], "left_semi")
+        .select("subj", "pred", "obj")
+        .dropDuplicates()
+    )
+
+
 def sparql_query(triples: DataFrame, query: str) -> DataFrame:
-    """Dispatch on the query form: SELECT, ASK, or CONSTRUCT."""
+    """Dispatch on the query form: SELECT, ASK, CONSTRUCT, or DESCRIBE."""
     q = parse_query(query)
     if isinstance(q, AskQuery):
         return sparql_ask(triples, q)
     if isinstance(q, ConstructQuery):
         return sparql_construct(triples, q)
+    if isinstance(q, DescribeQuery):
+        return sparql_describe(triples, q)
     return _eval_query(triples, q)
 
 

@@ -976,3 +976,72 @@ def test_ask_and_construct_plans_stay_jvm_side(tbox):
     )
     for plan in (ask_plan, con_plan):
         assert "BatchEvalPython" not in plan
+
+
+# -------------------------------------------------------------------------
+# DESCRIBE
+# -------------------------------------------------------------------------
+
+
+def test_describe_constant_resource(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_describe
+
+    got = rows(sparql_describe(tbox, f"{SW_PREFIXES} DESCRIBE PO:hasName"))
+    assert got == [
+        (PO + "hasName", RDFS + "label", "has name"),
+        (PO + "hasName", SKOS + "altLabel", "name"),
+        (PO + "hasName", SKOS + "prefLabel", "name-pref"),
+    ]
+
+
+def test_describe_variable_with_where(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_describe
+
+    q = f"""{SW_PREFIXES}
+        DESCRIBE ?p WHERE {{ ?p rdfs:domain PO:Person . }}"""
+    assert rows(sparql_describe(tbox, q)) == [
+        (PO + "livesAt", RDFS + "domain", PO + "Person"),
+        (PO + "livesAt", RDFS + "range", PO + "Address"),
+    ]
+
+
+def test_describe_mixed_constants_vars_and_star(tbox):
+    from knowledgegraphs_spark.operators.sparql import sparql_describe
+
+    # constant ∪ variable bindings, set-deduplicated
+    q = f"""{SW_PREFIXES}
+        DESCRIBE PO:livesAt ?p WHERE {{ ?p rdfs:domain PO:Person . }}"""
+    assert rows(sparql_describe(tbox, q)) == [
+        (PO + "livesAt", RDFS + "domain", PO + "Person"),
+        (PO + "livesAt", RDFS + "range", PO + "Address"),
+    ]
+    # * = every projected variable of the WHERE clause
+    q_star = f"""{SW_PREFIXES}
+        DESCRIBE * WHERE {{ ?p rdfs:domain ?cls . }}"""
+    got = rows(sparql_describe(tbox, q_star))
+    subjects = {s for (s, _, _) in got}
+    assert subjects == {PO + "livesAt", PO + "Person"}
+
+
+def test_describe_unbound_and_star_without_where(tbox):
+    import pytest as _pytest
+
+    from knowledgegraphs_spark.operators.sparql import parse_query, sparql_describe
+
+    # a DESCRIBE variable with no WHERE clause never binds → empty graph
+    assert rows(sparql_describe(tbox, "DESCRIBE ?x")) == []
+    with _pytest.raises(SyntaxError, match="DESCRIBE"):
+        parse_query("DESCRIBE * ")
+    with _pytest.raises(SyntaxError, match="DESCRIBE"):
+        parse_query("DESCRIBE WHERE { ?s ?p ?o }")
+
+
+def test_describe_dispatch_and_wrong_form(tbox):
+    import pytest as _pytest
+
+    from knowledgegraphs_spark.operators.sparql import sparql_describe, sparql_query
+
+    with _pytest.raises(TypeError, match="not a DESCRIBE"):
+        sparql_describe(tbox, f"{SW_PREFIXES} SELECT ?c WHERE {{ ?c rdfs:label ?l . }}")
+    got = rows(sparql_query(tbox, f"{SW_PREFIXES} DESCRIBE PO:C3"))
+    assert got == [(PO + "C3", RDFS + "subClassOf", PO + "C2")]
