@@ -53,7 +53,14 @@ Scope (documented, not silently wrong):
   that never matters when the endpoint is also bound by another pattern.
 - ``BIND (expr AS ?v)`` binds sequentially (sees variables bound so far
   in the group). Expressions support ``+ - * /`` arithmetic (numeric
-  cast), the comparison/boolean operators, and the builtins below.
+  cast), the comparison/boolean operators, and the §17.4 builtins: STR /
+  LCASE / UCASE / STRLEN / BOUND / CONTAINS / STRSTARTS / STRENDS /
+  REGEX / CONCAT / IF / COALESCE / SUBSTR / REPLACE / STRBEFORE /
+  STRAFTER (no-match → ``""`` per spec) / ABS / ROUND (ties toward +inf
+  per spec — ``floor(x+0.5)``, not HALF_UP) / CEIL / FLOOR. ``ORDER BY``
+  accepts expressions (``DESC(STRLEN(?x))``), and SELECT takes general
+  non-aggregate expressions ``(expr AS ?v)`` (with aggregation, compute
+  the expression in a subquery — mixing the two raises).
 - Subqueries ``{ SELECT ... }`` evaluate bottom-up; only the projected
   variables join with the outer group (SPARQL 1.1 §12 scoping).
 - Disconnected shapes are full-semantics, not raises: an OPTIONAL with no
@@ -243,10 +250,12 @@ class Group:
 
 @dataclass
 class SelectItem:
-    # plain variable or aggregate (func, distinct, arg: Var|'*') AS alias
+    # plain variable, aggregate (func, distinct, arg: Var|'*') AS alias,
+    # or a general (non-aggregate) expression AS alias
     var: str | None = None
     agg: tuple | None = None
     alias: str | None = None
+    expr: object | None = None
 
 
 @dataclass
@@ -255,7 +264,7 @@ class Query:
     distinct: bool
     where: Group
     group_by: list  # var names
-    order_by: list  # (var, ascending)
+    order_by: list  # (Var | expression tuple, ascending)
     limit: int | None
     offset: int | None
     having: object | None = None  # expression over aggregates / aliases
@@ -462,12 +471,14 @@ class _Parser:
                 while True:
                     k, v = self.peek()
                     if k == "WORD" and v.upper() in ("ASC", "DESC"):
+                        # ASC(...) / DESC(...) take any expression, not
+                        # just a variable (ORDER BY DESC(STRLEN(?x)))
                         asc = self.next()[1].upper() == "ASC"
-                        self.eat_op("(")
-                        order_by.append((self.next()[1][1:], asc))
-                        self.eat_op(")")
+                        order_by.append((self._bracketted_expr(), asc))
                     elif k == "VAR":
-                        order_by.append((self.next()[1][1:], True))
+                        order_by.append((Var(self.next()[1][1:]), True))
+                    elif (k == "WORD" and v.upper() in _BUILTINS) or v == "(":
+                        order_by.append((self._unary_expr(), True))
                     else:
                         break
             elif self.at_word("LIMIT"):
@@ -510,13 +521,18 @@ class _Parser:
 
     def _select_expr_item(self) -> SelectItem:
         self.eat_op("(")
-        agg = self._agg_call()
+        pk, pv = self.peek()
+        if pk == "WORD" and pv.upper() in _AGG_FUNCS and self.peek(1)[1] == "(":
+            agg, expr = self._agg_call(), None
+        else:
+            # general (non-aggregate) SELECT expression — spec §18.2.4.4
+            agg, expr = None, self._expr()
         self.eat_word("AS")
         k, v = self.next()
         if k != "VAR":
             raise SyntaxError("SPARQL: AS must bind a ?variable")
         self.eat_op(")")
-        return SelectItem(agg=agg, alias=v[1:])
+        return SelectItem(agg=agg, alias=v[1:], expr=expr)
 
     def _group(self) -> Group:
         self.eat_op("{")
@@ -872,6 +888,16 @@ _BUILTINS = {
     "STRENDS": (2,),
     "REGEX": (2, 3),
     "CONCAT": tuple(range(1, 9)),
+    "IF": (3,),
+    "COALESCE": tuple(range(1, 9)),
+    "SUBSTR": (2, 3),
+    "REPLACE": (3, 4),
+    "STRBEFORE": (2,),
+    "STRAFTER": (2,),
+    "ABS": (1,),
+    "ROUND": (1,),
+    "CEIL": (1,),
+    "FLOOR": (1,),
 }
 
 
@@ -1234,7 +1260,34 @@ def _compile_expr(e, df: DataFrame) -> Column:
         )
     if op == "call":
         name, args = e[1], [a for a in e[2]]
+        if name == "IF":
+            # spec §17.4.1.2: the condition is an effective-boolean
+            # expression, the branches are plain terms
+            return F.when(
+                _compile_expr(args[0], df), _compile_operand(args[1], df)
+            ).otherwise(_compile_operand(args[2], df))
+        if name == "COALESCE":
+            return F.coalesce(*[_compile_operand(a, df) for a in args])
         a0 = _compile_operand(args[0], df)
+        if name == "ABS":
+            return F.abs(a0.cast("double"))
+        if name == "ROUND":
+            # spec §17.4.4.1 rounds ties toward +inf (-2.5 → -2);
+            # F.round is HALF_UP / away-from-zero, floor(x+0.5) is exact
+            return F.floor(a0.cast("double") + F.lit(0.5)).cast("double")
+        if name == "CEIL":
+            return F.ceil(a0.cast("double")).cast("double")
+        if name == "FLOOR":
+            return F.floor(a0.cast("double")).cast("double")
+        if name == "SUBSTR":
+            # SPARQL and Spark are both 1-based; omitted length = rest
+            start = _compile_operand(args[1], df, numeric=True).cast("int")
+            length = (
+                _compile_operand(args[2], df, numeric=True).cast("int")
+                if len(args) == 3
+                else F.length(a0)
+            )
+            return a0.substr(start, length)
         if name == "STR":
             return a0.cast("string")
         if name == "LCASE":
@@ -1254,6 +1307,25 @@ def _compile_expr(e, df: DataFrame) -> Column:
             return a0.startswith(a1)
         if name == "STRENDS":
             return a0.endswith(a1)
+        if name in ("STRBEFORE", "STRAFTER"):
+            # spec §17.4.3.x: no-match → "" (NOT the whole string, which
+            # is what substring_index would give); 1-based instr arithmetic
+            pos = F.instr(a0, a1)
+            if name == "STRBEFORE":
+                hit = a0.substr(F.lit(1), pos - 1)
+            else:
+                hit = a0.substr(pos + F.length(a1), F.length(a0))
+            return F.when(pos > 0, hit).otherwise(F.lit(""))
+        if name == "REPLACE":
+            pat = args[1]
+            if not isinstance(pat, Term):
+                raise ValueError("SPARQL: REPLACE pattern must be a literal")
+            p = pat.text
+            if len(args) == 4:
+                flags = args[3].text if isinstance(args[3], Term) else ""
+                if flags:
+                    p = f"(?{flags})" + p
+            return F.regexp_replace(a0, p, _compile_operand(args[2], df))
         if name == "REGEX":
             pat = args[1]
             if not isinstance(pat, Term):
@@ -1453,6 +1525,11 @@ def _eval_query(triples: DataFrame, q: Query) -> DataFrame:
         _rewrite_having(q.having, having_extra) if getattr(q, "having", None) is not None else None
     )
     if aggs or (q.group_by and having_expr is not None):
+        if any(it.expr is not None for it in items):
+            raise ValueError(
+                "SPARQL: general SELECT expressions are not supported together "
+                "with aggregation — compute the expression in a subquery"
+            )
         plain = [it.var for it in items if it.var]
         if set(plain) - set(q.group_by):
             raise ValueError("SPARQL: non-aggregated SELECT vars must appear in GROUP BY")
@@ -1474,14 +1551,28 @@ def _eval_query(triples: DataFrame, q: Query) -> DataFrame:
             raise ValueError("SPARQL: HAVING requires aggregation")
         if q.group_by:
             raise ValueError("SPARQL: GROUP BY without aggregates in SELECT")
-        missing = [it.var for it in items if it.var not in df.columns]
+        missing = [it.var for it in items if it.var and it.var not in df.columns]
         if missing:
             raise ValueError(f"SPARQL: unbound variables in SELECT: {missing}")
-        df = df.select(*[it.var for it in items])
+        cols = []
+        for it in items:
+            if it.var:
+                cols.append(F.col(it.var))
+            else:
+                # (expr AS ?alias) — spec scope: the alias must be fresh
+                if it.alias in df.columns:
+                    raise ValueError(f"SPARQL: (expr AS ?{it.alias}) re-binds a bound variable")
+                cols.append(_compile_expr(it.expr, df).alias(it.alias))
+        df = df.select(*cols)
     if q.distinct:
         df = df.dropDuplicates()
     if q.order_by:
-        df = df.orderBy(*[F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by])
+        df = df.orderBy(
+            *[
+                _compile_expr(e, df).asc() if asc else _compile_expr(e, df).desc()
+                for e, asc in q.order_by
+            ]
+        )
     if q.offset:
         df = df.offset(q.offset)
     if q.limit is not None:
