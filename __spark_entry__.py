@@ -2100,6 +2100,81 @@ FROM (
 """.strip()
 
 
+def q_sparql_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19 (engine extension): SPARQL 1.1 Update against a live
+    ``write_triples`` store — all three mutation shapes in sequence over
+    a nation/region KG rendering:
+
+    1. ``DELETE {..} INSERT {..} WHERE {..}`` — a predicate migration
+       denormalizing ``kg:inRegion`` links into ``kg:regionName`` values
+       (bucket-rewrite path, dynamic partition overwrite);
+    2. ``INSERT DATA`` — a brand-new subject (append path, no rewrite);
+    3. ``DELETE WHERE`` with a constant subject (bucket-pruned delete).
+
+    Returned: the post-update store contents, value-checked against the
+    closed-form relational twin over nation ⋈ region. The reference's
+    equivalent is a GraphDB re-upload (E_CreateKG/GraphDB.java:150-163);
+    here mutation cost is proportional to touched buckets only."""
+    import os
+    import tempfile
+
+    from knowledgegraphs_spark.operators.sparql_update import sparql_update
+    from knowledgegraphs_spark.operators.triples import read_triples, write_triples
+
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    nat_subj = F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string"))
+    reg_subj = F.concat(F.lit("kg:Region_"), F.col("r_regionkey").cast("string"))
+    base = (
+        nation.select(nat_subj.alias("subj"), F.lit("rdf:type").alias("pred"), F.lit("kg:Nation").alias("obj"))
+        .unionByName(nation.select(nat_subj.alias("subj"), F.lit("kg:name").alias("pred"), F.col("n_name").alias("obj")))
+        .unionByName(
+            nation.select(
+                nat_subj.alias("subj"),
+                F.lit("kg:inRegion").alias("pred"),
+                F.concat(F.lit("kg:Region_"), F.col("n_regionkey").cast("string")).alias("obj"),
+            )
+        )
+        .unionByName(region.select(reg_subj.alias("subj"), F.lit("rdf:type").alias("pred"), F.lit("kg:Region").alias("obj")))
+        .unionByName(region.select(reg_subj.alias("subj"), F.lit("kg:name").alias("pred"), F.col("r_name").alias("obj")))
+    )
+    tmp = tempfile.mkdtemp(prefix="kg_g19_")
+    path = os.path.join(tmp, "store")
+    write_triples(base, path, n_buckets=8)
+    sparql_update(
+        spark,
+        path,
+        """DELETE { ?n kg:inRegion ?r } INSERT { ?n kg:regionName ?rn }
+           WHERE { ?n kg:inRegion ?r . ?r kg:name ?rn . }""",
+    )
+    sparql_update(
+        spark,
+        path,
+        'INSERT DATA { kg:Region_99 rdf:type kg:Region . kg:Region_99 kg:name "UNCHARTED" . }',
+    )
+    sparql_update(spark, path, "DELETE WHERE { kg:Nation_0 ?p ?o . }")
+    return read_triples(spark, path).select("subj", "pred", "obj")
+
+
+_G19_SQL = """
+WITH nat AS (
+  SELECT n_nationkey AS k, n_name AS name, n_regionkey AS rk FROM nation
+  WHERE n_nationkey <> 0
+), reg AS (
+  SELECT r_regionkey AS k, r_name AS name FROM region
+)
+SELECT subj, pred, obj FROM (
+  SELECT 'kg:Nation_' || k AS subj, 'rdf:type' AS pred, 'kg:Nation' AS obj FROM nat
+  UNION ALL SELECT 'kg:Nation_' || k, 'kg:name', name FROM nat
+  UNION ALL SELECT 'kg:Nation_' || n.k, 'kg:regionName', r.name FROM nat n JOIN reg r ON n.rk = r.k
+  UNION ALL SELECT 'kg:Region_' || k, 'rdf:type', 'kg:Region' FROM reg
+  UNION ALL SELECT 'kg:Region_' || k, 'kg:name', name FROM reg
+  UNION ALL SELECT 'kg:Region_99', 'rdf:type', 'kg:Region'
+  UNION ALL SELECT 'kg:Region_99', 'kg:name', 'UNCHARTED'
+) t
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
@@ -2820,6 +2895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g16_sparql_ask": q_sparql_ask,
         "g17_sparql_having_groupconcat": q_sparql_having_groupconcat,
         "g18_sparql_path_algebra": q_sparql_path_algebra,
+        "g19_sparql_update": q_sparql_update,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -2902,6 +2978,7 @@ def oracle_sql() -> dict[str, str]:
         "g16_sparql_ask": _G16_SQL,
         "g17_sparql_having_groupconcat": _G17_SQL,
         "g18_sparql_path_algebra": _G18_SQL,
+        "g19_sparql_update": _G19_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,

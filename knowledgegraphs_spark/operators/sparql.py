@@ -102,7 +102,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sparql_select", "sparql_ask", "sparql_construct", "sparql_query", "parse_query"]
+__all__ = [
+    "sparql_select",
+    "sparql_ask",
+    "sparql_construct",
+    "sparql_query",
+    "parse_query",
+    "parse_update",
+]
 
 # --------------------------------------------------------------------------
 # tokenizer
@@ -291,6 +298,17 @@ class DescribeQuery:
     star: bool = False
 
 
+@dataclass
+class UpdateRequest:
+    """One SPARQL 1.1 Update operation (§3): INSERT DATA / DELETE DATA
+    (ground templates, ``where is None``), DELETE WHERE (the pattern is
+    both template and WHERE), or DELETE/INSERT ... WHERE."""
+
+    delete_template: list | None  # (s, p, o) of Var | Term, or None
+    insert_template: list | None
+    where: Group | None  # None for the ground DATA forms
+
+
 # --------------------------------------------------------------------------
 # parser
 # --------------------------------------------------------------------------
@@ -341,7 +359,7 @@ class _Parser:
         return Var(f"__b{self._blank_n}")
 
     # -- grammar ------------------------------------------------------------
-    def parse(self) -> Query:
+    def _prologue(self) -> None:
         while self.at_word("PREFIX"):
             self.next()
             k, v = self.next()
@@ -352,6 +370,9 @@ class _Parser:
             if k2 != "IRI":
                 raise SyntaxError(f"SPARQL: bad PREFIX iri {iri!r}")
             self.prefixes[pfx] = iri[1:-1]
+
+    def parse(self) -> Query:
+        self._prologue()
         if self.at_word("ASK"):
             q: object = self._ask_query()
         elif self.at_word("CONSTRUCT"):
@@ -429,6 +450,79 @@ class _Parser:
         if star and where is None:
             raise SyntaxError("SPARQL: DESCRIBE * requires a WHERE clause")
         return DescribeQuery(resources, where, star)
+
+    # -- update grammar -----------------------------------------------------
+    def parse_update(self) -> UpdateRequest:
+        """UpdateRequest ::= Prologue (InsertData | DeleteData |
+        DeleteWhere | Modify). GRAPH/WITH/USING are rejected up front —
+        the store is a single graph — as are multi-operation requests
+        (``;``-separated; apply them as separate calls)."""
+        self._prologue()
+        delete_t = insert_t = None
+        where: Group | None = None
+        if self.at_word("WITH", "USING", "GRAPH", "LOAD", "CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD"):
+            raise SyntaxError(
+                f"SPARQL Update: {self.peek()[1]!r} is not supported — the store is a single graph"
+            )
+        if self.at_word("INSERT"):
+            self.next()
+            if self.at_word("DATA"):
+                self.next()
+                insert_t = self._template(ground=True)
+            else:
+                insert_t = self._template()
+                self.eat_word("WHERE")
+                where = self._group()
+        elif self.at_word("DELETE"):
+            self.next()
+            if self.at_word("DATA"):
+                self.next()
+                delete_t = self._template(ground=True)
+            elif self.at_word("WHERE"):
+                # DELETE WHERE: the pattern is both template and WHERE (§3.1.3)
+                self.next()
+                where = self._group()
+                delete_t = self._group_as_template(where)
+            else:
+                delete_t = self._template()
+                if self.at_word("INSERT"):
+                    self.next()
+                    insert_t = self._template()
+                self.eat_word("WHERE")
+                where = self._group()
+        else:
+            raise SyntaxError("SPARQL Update: expected INSERT or DELETE")
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(
+                f"SPARQL Update: trailing input at {self.peek()[1]!r} "
+                "(multi-operation requests are not supported — apply them as separate calls)"
+            )
+        return UpdateRequest(delete_t, insert_t, where)
+
+    def _template(self, ground: bool = False) -> list:
+        """A ``{ triples }`` block used as a quad pattern/template; with
+        ``ground=True`` (the DATA forms) variables and blank nodes raise."""
+        tmpl = self._group_as_template(self._group())
+        if ground:
+            for t in tmpl:
+                for term in t:
+                    if isinstance(term, Var):
+                        what = "blank nodes" if term.name.startswith("__b") else "variables"
+                        raise SyntaxError(f"SPARQL Update: {what} are not allowed in DATA blocks")
+        return tmpl
+
+    def _group_as_template(self, g: Group) -> list:
+        template: list = []
+        for el in g.elements:
+            if not isinstance(el, Bgp):
+                raise SyntaxError("SPARQL Update: templates must contain only triples")
+            for s, p, o in el.triples:
+                if isinstance(p, PathIri):
+                    p = Term(p.iri)
+                elif not isinstance(p, (Var, Term)):
+                    raise SyntaxError("SPARQL Update: property paths not allowed in templates")
+                template.append((s, p, o))
+        return template
 
     def _select_query(self) -> Query:
         self.eat_word("SELECT")
@@ -905,6 +999,13 @@ def parse_query(text: str) -> Query | AskQuery | ConstructQuery | DescribeQuery:
     """Parse SPARQL SELECT / ASK / CONSTRUCT text into the algebra this
     module evaluates."""
     return _Parser(text).parse()
+
+
+def parse_update(text: str) -> UpdateRequest:
+    """Parse a SPARQL 1.1 Update operation (INSERT DATA / DELETE DATA /
+    DELETE WHERE / DELETE-INSERT-WHERE). Applied to a store by
+    ``operators/sparql_update.py``."""
+    return _Parser(text).parse_update()
 
 
 # --------------------------------------------------------------------------
@@ -1432,8 +1533,19 @@ def sparql_construct(triples: DataFrame, query: str | ConstructQuery) -> DataFra
         sol = sol.offset(q.offset)
     if q.limit is not None:
         sol = sol.limit(q.limit)
+    return _template_graph(triples.sparkSession, sol, q.template)
+
+
+def _template_graph(spark, sol: DataFrame | None, template: list) -> DataFrame:
+    """Instantiate template triples against a solution relation → a
+    deduplicated ``(subj, pred, obj)`` graph. ``sol=None`` is the ground
+    case (INSERT/DELETE DATA): every term must be a constant."""
+    schema = "subj string, pred string, obj string"
+    if sol is None:
+        rows = [(s.text, p.text, o.text) for s, p, o in template]
+        return spark.createDataFrame(rows, schema).dropDuplicates()
     parts = []
-    for s, p, o in q.template:
+    for s, p, o in template:
         cols, ok = [], True
         for term, name in ((s, "subj"), (p, "pred"), (o, "obj")):
             if isinstance(term, Var):
@@ -1446,8 +1558,7 @@ def sparql_construct(triples: DataFrame, query: str | ConstructQuery) -> DataFra
         if ok:
             parts.append(sol.select(*cols).na.drop())
     if not parts:
-        schema = "subj string, pred string, obj string"
-        return triples.sparkSession.createDataFrame([], schema)
+        return spark.createDataFrame([], schema)
     out = parts[0]
     for p_df in parts[1:]:
         out = out.unionByName(p_df)

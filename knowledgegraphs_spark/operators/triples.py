@@ -298,7 +298,11 @@ def write_triples(
     bucketed = bucketed.sortWithinPartitions("subj_bucket", "subj")
     bucketed.write.mode("overwrite").partitionBy("subj_bucket").parquet(path)
     spark = triples.sparkSession
-    meta = spark.createDataFrame([(n_buckets,)], "subj_buckets int")
+    # schema_json lets read_triples open a store whose every bucket was
+    # emptied by sparql_update (no parquet files left to infer from)
+    meta = spark.createDataFrame(
+        [(n_buckets, triples.schema.json())], "subj_buckets int, schema_json string"
+    )
     meta.coalesce(1).write.mode("overwrite").json(path.rstrip("/") + "/_kg_meta")
 
 
@@ -307,7 +311,26 @@ def read_triples(spark, path: str) -> DataFrame:
     bucket count as ``_kg_subj_buckets`` (plain Python attribute — Spark
     has no DataFrame metadata channel), which the BGP/SPARQL evaluators
     use to turn constant-subject patterns into partition-pruned scans."""
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        # a store whose every bucket was emptied (sparql_update deletes)
+        # has no parquet files left to infer a schema from — fall back to
+        # the schema recorded at write time
+        import json as _json
+
+        from pyspark.sql.types import IntegerType, StructType
+
+        meta_row = spark.read.json(path.rstrip("/") + "/_kg_meta").collect()[0]
+        schema_json = meta_row["schema_json"] if "schema_json" in meta_row else None
+        if schema_json is None:
+            raise
+        schema = StructType.fromJson(_json.loads(schema_json)).add(
+            "subj_bucket", IntegerType()
+        )
+        df = spark.createDataFrame([], schema)
+        df._kg_subj_buckets = int(meta_row["subj_buckets"])
+        return df
     try:
         n = spark.read.json(path.rstrip("/") + "/_kg_meta").collect()[0]["subj_buckets"]
         df._kg_subj_buckets = int(n)
