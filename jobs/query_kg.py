@@ -21,6 +21,13 @@ parquet when given (the cluster path — bindings never move to the
 driver); otherwise up to ``--limit`` rows print as JSON lines for quick
 inspection. The LAST stdout line is always one JSON summary
 (rows, seconds, form) a scheduler can assert on.
+
+SPARQL **Update** operations (INSERT DATA / DELETE DATA / DELETE WHERE /
+DELETE-INSERT-WHERE) are detected from the text and applied to the store
+in place via ``operators/sparql_update.py`` — bucket-local rewrites, the
+production path for store migrations from a scheduler. The summary line
+then carries the operation's lineage counters (deleted / inserted /
+buckets touched); ``--output`` is rejected (an update has no bindings).
 """
 
 from __future__ import annotations
@@ -50,11 +57,18 @@ def main(argv: list[str] | None = None) -> int:
     else:
         query_text = args.query
 
+    import re
+
     from pyspark.sql import SparkSession
 
     from knowledgegraphs_spark.operators.sparql import sparql_query
     from knowledgegraphs_spark.operators.triples import read_triples
     from knowledgegraphs_spark.session import ENGINE_SQL_CONFS
+
+    # form detection: the first keyword after the prologue decides
+    # query (SELECT/ASK/CONSTRUCT/DESCRIBE) vs update (INSERT/DELETE)
+    body = re.sub(r"(?is)^\s*(?:PREFIX\s+\S+\s+<[^>]*>\s*)*", "", query_text)
+    is_update = body.split(None, 1)[0].upper() in ("INSERT", "DELETE") if body.split() else False
 
     builder = SparkSession.builder.appName(args.app_name)
     for k, v in ENGINE_SQL_CONFS.items():
@@ -62,6 +76,17 @@ def main(argv: list[str] | None = None) -> int:
     spark = builder.getOrCreate()
 
     t0 = time.time()
+    if is_update:
+        if args.output:
+            ap.error("--output is not valid for a SPARQL Update (no bindings)")
+        from knowledgegraphs_spark.operators.sparql_update import sparql_update
+
+        stats = sparql_update(spark, args.store, query_text)
+        summary = {"store": args.store, "form": "update", **stats}
+        summary["seconds"] = round(time.time() - t0, 1)
+        print(json.dumps(summary))
+        spark.stop()
+        return 0
     triples = read_triples(spark, args.store)
     result = sparql_query(triples, query_text)
 

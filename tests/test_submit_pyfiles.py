@@ -273,3 +273,43 @@ def test_submit_query_job_ask_prints(structural_store):
     )
     assert qsum["rows"] == 1
     assert json.loads(printed[-1]) == {"ask": True}
+
+
+def test_submit_query_job_update(spark, turns_input, tmp_path):
+    """The query job detects a SPARQL Update, applies it to the store in
+    place from a separate spark-submit process, and reports the
+    operation's lineage counters; the mutated store is then verified
+    in-process. Uses its own store — the shared structural_store must
+    stay immutable for the other query tests."""
+    from knowledgegraphs_spark.operators.triples import read_triples, write_triples
+
+    tmp, _ = turns_input
+    zpath = _zip_package(tmp)
+    rows = [
+        ("kg:A", "kg:status", "old"),
+        ("kg:B", "kg:status", "old"),
+        ("kg:C", "kg:other", "x"),
+    ]
+    store = str(tmp_path / "upd_store")
+    write_triples(
+        spark.createDataFrame(rows, "subj string, pred string, obj string"),
+        store, n_buckets=4,
+    )
+    qsum, _printed = _submit_query(
+        tmp, zpath,
+        "--store", store,
+        "--query",
+        'DELETE { ?s kg:status "old" } INSERT { ?s kg:status "migrated" } '
+        'WHERE { ?s kg:status "old" . }',
+    )
+    assert qsum["form"] == "update"
+    assert qsum["deleted"] == 2 and qsum["inserted"] == 2
+    got = sorted(
+        tuple(r)
+        for r in read_triples(spark, store).select("subj", "pred", "obj").collect()
+    )
+    assert got == [
+        ("kg:A", "kg:status", "migrated"),
+        ("kg:B", "kg:status", "migrated"),
+        ("kg:C", "kg:other", "x"),
+    ]
