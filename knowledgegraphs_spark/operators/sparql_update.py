@@ -81,6 +81,11 @@ def sparql_update(spark: SparkSession, store_path: str, update: str | UpdateRequ
     graph = store.select("subj", "pred", "obj")
     graph._kg_subj_buckets = n_buckets  # keep constant-subject pruning through the select
     sol = _eval_group(graph, req.where) if req.where is not None else None
+    if sol is not None and req.delete_template and req.insert_template:
+        # modify form: one WHERE evaluation feeds BOTH templates (measured
+        # on the 405 M-triple probe rung, where re-evaluating the solution
+        # per template was the migration's single largest cost)
+        sol = sol.localCheckpoint(eager=True)
 
     def instantiate(template):
         if template is None:
