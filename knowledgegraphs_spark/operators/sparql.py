@@ -452,11 +452,24 @@ class _Parser:
         return DescribeQuery(resources, where, star)
 
     # -- update grammar -----------------------------------------------------
-    def parse_update(self) -> UpdateRequest:
-        """UpdateRequest ::= Prologue (InsertData | DeleteData |
-        DeleteWhere | Modify). GRAPH/WITH/USING are rejected up front —
-        the store is a single graph — as are multi-operation requests
-        (``;``-separated; apply them as separate calls)."""
+    def parse_update(self) -> list[UpdateRequest]:
+        """Update ::= Prologue Operation (';' Prologue Operation)* —
+        a migration script of one or more operations, applied in order
+        (§3: each operation sees the previous one's result). GRAPH /
+        WITH / USING are rejected up front — the store is a single
+        graph."""
+        ops = [self._update_operation()]
+        while self.peek()[1] == ";":
+            self.next()
+            if self.peek()[0] == "EOF":
+                break  # trailing ';' is legal (§19.1 grammar)
+            self._prologue()  # each operation may add PREFIX declarations
+            ops.append(self._update_operation())
+        if self.peek()[0] != "EOF":
+            raise SyntaxError(f"SPARQL Update: trailing input at {self.peek()[1]!r}")
+        return ops
+
+    def _update_operation(self) -> UpdateRequest:
         self._prologue()
         delete_t = insert_t = None
         where: Group | None = None
@@ -492,11 +505,6 @@ class _Parser:
                 where = self._group()
         else:
             raise SyntaxError("SPARQL Update: expected INSERT or DELETE")
-        if self.peek()[0] != "EOF":
-            raise SyntaxError(
-                f"SPARQL Update: trailing input at {self.peek()[1]!r} "
-                "(multi-operation requests are not supported — apply them as separate calls)"
-            )
         return UpdateRequest(delete_t, insert_t, where)
 
     def _template(self, ground: bool = False) -> list:
@@ -1001,9 +1009,10 @@ def parse_query(text: str) -> Query | AskQuery | ConstructQuery | DescribeQuery:
     return _Parser(text).parse()
 
 
-def parse_update(text: str) -> UpdateRequest:
-    """Parse a SPARQL 1.1 Update operation (INSERT DATA / DELETE DATA /
-    DELETE WHERE / DELETE-INSERT-WHERE). Applied to a store by
+def parse_update(text: str) -> list[UpdateRequest]:
+    """Parse a SPARQL 1.1 Update request — one or more ``;``-separated
+    operations (INSERT DATA / DELETE DATA / DELETE WHERE /
+    DELETE-INSERT-WHERE), in order. Applied to a store by
     ``operators/sparql_update.py``."""
     return _Parser(text).parse_update()
 

@@ -12,9 +12,11 @@ buckets the update touches, never with the store:
   (bucket-pruned BGPs, hash joins);
 - delete/insert templates instantiate exactly like CONSTRUCT templates
   (``sparql._template_graph``);
-- buckets containing deletions are rewritten via dynamic partition
-  overwrite (kept = per-bucket left-anti join against the delete set);
-  buckets that only gain rows take parquet APPENDS — no rewrite at all;
+- buckets containing deletions are rewritten through a STAGING dir +
+  per-bucket rename swap (kept = per-bucket left-anti join against the
+  delete set, streamed to ``_staging_rewrite``, then swapped in) — no
+  extra memory residency, no self-overwrite hazard; buckets that only
+  gain rows take parquet APPENDS — no rewrite at all;
 - inserts follow RDF set semantics (a triple already present is a no-op)
   through a bucket-pruned anti join, while the base content keeps its
   bag identity row-for-row (the KG emission owns its own dedup);
@@ -23,16 +25,20 @@ buckets the update touches, never with the store:
   WHERE {p}`` round-trips a triple.
 
 Scope (documented, not silently wrong): single graph (GRAPH/WITH/USING
-raise), one operation per request (``;`` raises), and on stores carrying
+raise), ``;``-separated scripts apply operation-by-operation (each sees
+the previous result, per §3), and on stores carrying
 typed-literal metadata columns (``obj_dtype``, ``is_literal``) inserted
 rows hold NULL metadata — the update language speaks plain
 ``(subj, pred, obj)``; typed literals come from the emission path.
 
 Atomicity matches the store's contract elsewhere (``sinks/graphdb.py``
-divergence note): each rewritten bucket commits atomically via the
-parquet committer, but a mid-update crash can leave some buckets updated
-and others not; re-running the same request is idempotent (deletes of
-absent rows are no-ops, inserts are set-semantic).
+divergence note): each rewritten bucket swaps in via one FS rename, and
+the full staged content commits before the first swap — a crash during
+staging leaves the store untouched; a crash mid-swap can leave some
+buckets updated and others not. Re-running the same request is
+idempotent (deletes of absent rows are no-ops, inserts are
+set-semantic), and a leftover ``_staging_rewrite`` dir is invisible to
+readers (underscore prefix) and overwritten by the next update.
 """
 
 from __future__ import annotations
@@ -46,29 +52,82 @@ from .triples import read_triples, subj_bucket_of
 __all__ = ["sparql_update"]
 
 
-def _bucket_dirs_delete(spark: SparkSession, store_path: str, buckets: list[int]) -> None:
-    """Remove bucket directories that became EMPTY after deletion —
-    dynamic partition overwrite only replaces partitions present in the
-    written frame, so an emptied bucket's old files would otherwise
-    survive. JVM Hadoop FileSystem: works for file://, hdfs://, s3a://."""
+def _staged_buckets(spark: SparkSession, staging: str) -> set[int]:
+    """Bucket ids present in the staging dir (``subj_bucket=N`` children),
+    via the JVM Hadoop FileSystem."""
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for b in buckets:
-        p = jvm.org.apache.hadoop.fs.Path(store_path, f"subj_bucket={b}")
-        fs = p.getFileSystem(conf)
-        if fs.exists(p):
-            fs.delete(p, True)
+    p = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = p.getFileSystem(conf)
+    out: set[int] = set()
+    if fs.exists(p):
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if name.startswith("subj_bucket="):
+                out.add(int(name.split("=", 1)[1]))
+    return out
 
 
-def sparql_update(spark: SparkSession, store_path: str, update: str | UpdateRequest) -> dict:
-    """Apply one SPARQL Update operation to the store at ``store_path``.
+def _swap_bucket_dirs(
+    spark: SparkSession,
+    store_path: str,
+    staging: str,
+    rewritten: list[int],
+    non_empty: set[int],
+) -> None:
+    """Swap rewritten bucket directories into the store: delete each
+    old ``subj_bucket=b`` dir, rename the staged one in (a bucket whose
+    staged content is empty is simply removed — no stale files survive),
+    then drop the staging dir. JVM Hadoop FileSystem: works for
+    file://, hdfs://, s3a:// alike; each rename is atomic per bucket."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = jvm.org.apache.hadoop.fs.Path(store_path).getFileSystem(conf)
+    for b in rewritten:
+        old = jvm.org.apache.hadoop.fs.Path(store_path, f"subj_bucket={b}")
+        if fs.exists(old):
+            fs.delete(old, True)
+        if b in non_empty:
+            new = jvm.org.apache.hadoop.fs.Path(staging, f"subj_bucket={b}")
+            fs.rename(new, old)
+    fs.delete(jvm.org.apache.hadoop.fs.Path(staging), True)
+
+
+def sparql_update(
+    spark: SparkSession, store_path: str, update: str | UpdateRequest | list
+) -> dict:
+    """Apply a SPARQL Update request — one operation or a ``;``-separated
+    migration script — to the store at ``store_path``, in order (§3:
+    each operation sees the previous one's result).
 
     Returns lineage counters: ``{"deleted": n, "inserted": n,
-    "buckets_rewritten": [..], "buckets_appended": [..]}`` — the
-    per-operation metrics record the north rule's resumability story
-    expects from every mutating stage.
+    "buckets_rewritten": [..], "buckets_appended": [..],
+    "operations": n}`` — totals across the script's operations; the
+    metrics record the north rule's resumability story expects from
+    every mutating stage.
     """
-    req = parse_update(update) if isinstance(update, str) else update
+    reqs = parse_update(update) if isinstance(update, str) else update
+    if isinstance(reqs, UpdateRequest):
+        reqs = [reqs]
+    total = {
+        "deleted": 0,
+        "inserted": 0,
+        "buckets_rewritten": set(),
+        "buckets_appended": set(),
+        "operations": len(reqs),
+    }
+    for req in reqs:
+        s = _apply_operation(spark, store_path, req)
+        total["deleted"] += s["deleted"]
+        total["inserted"] += s["inserted"]
+        total["buckets_rewritten"].update(s["buckets_rewritten"])
+        total["buckets_appended"].update(s["buckets_appended"])
+    total["buckets_rewritten"] = sorted(total["buckets_rewritten"])
+    total["buckets_appended"] = sorted(total["buckets_appended"])
+    return total
+
+
+def _apply_operation(spark: SparkSession, store_path: str, req: UpdateRequest) -> dict:
     store = read_triples(spark, store_path)
     n_buckets = getattr(store, "_kg_subj_buckets", None)
     if n_buckets is None:
@@ -125,30 +184,36 @@ def sparql_update(spark: SparkSession, store_path: str, update: str | UpdateRequ
         content = new_parts[0]
         for p in new_parts[1:]:
             content = content.unionByName(p)
-        # cut lineage from the files being overwritten — the rewrite's
-        # working set is the touched buckets only, never the store
-        content = content.localCheckpoint(eager=True)
-        # deleted = rows that left the affected buckets; inserted-there =
-        # rows the rewrite added beyond the kept ones
+        # STAGE, then swap: the rewritten content streams to a staging
+        # dir (underscore prefix — invisible to the parquet file index)
+        # while the original files stay readable, then each rewritten
+        # bucket dir swaps in via FS rename. This keeps the rewrite's
+        # memory at zero extra residency — the first cut localCheckpoint'd
+        # the whole rewritten content, which on the 405 M-triple probe
+        # rung meant materializing the entire store in executor storage
+        # (and at 100 TB would simply OOM) — and replaces the dynamic
+        # partition-overwrite self-read hazard with plain sequencing:
+        # every read of the original happens before the swap.
+        staging = store_path.rstrip("/") + "/_staging_rewrite"
+        (
+            content.sortWithinPartitions("subj_bucket", "subj")
+            .write.mode("overwrite")
+            .partitionBy("subj_bucket")
+            .parquet(staging)
+        )
+        # deleted = rows of the affected buckets matching the delete set
+        # (bag semantics: every copy of a matched (s,p,o) leaves);
+        # inserted-there = staged content beyond the kept rows
         n_before = affected.count()
-        n_content = content.count()
-        n_kept = kept.count()
-        stats["deleted"] = n_before - n_kept
-        stats["inserted"] += n_content - n_kept
-        non_empty = {r[0] for r in content.select("subj_bucket").distinct().collect()}
-        mode_saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                content.sortWithinPartitions("subj_bucket", "subj")
-                .write.mode("overwrite")
-                .partitionBy("subj_bucket")
-                .parquet(store_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", mode_saved)
-        emptied = [b for b in del_buckets if b not in non_empty]
-        _bucket_dirs_delete(spark, store_path, emptied)
+        n_deleted = affected.join(deletes.select(*spo), on=spo, how="left_semi").count()
+        # list the staged partition dirs through the FS — an all-deleted
+        # (or no-op) rewrite stages zero rows, which parquet can't even
+        # infer a schema from
+        non_empty = _staged_buckets(spark, staging)
+        n_content = spark.read.parquet(staging).count() if non_empty else 0
+        stats["deleted"] = n_deleted
+        stats["inserted"] += n_content - (n_before - n_deleted)
+        _swap_bucket_dirs(spark, store_path, staging, del_buckets, non_empty)
         stats["buckets_rewritten"] = del_buckets
 
     if inserts is not None:

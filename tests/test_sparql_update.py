@@ -182,8 +182,38 @@ def test_parse_errors(spark, tmp_path):
         parse_update(PFX + "DELETE WHERE { ?s ex:p ?o . FILTER (?o > 1) }")
     with pytest.raises(SyntaxError, match="INSERT or DELETE"):
         parse_update(PFX + "SELECT ?s WHERE { ?s ?p ?o . }")
-    with pytest.raises(SyntaxError, match="separate calls"):
-        parse_update(PFX + "DELETE DATA { ex:a ex:p 'v' . } ; INSERT DATA { ex:b ex:p 'v' . }")
+
+
+def test_multi_operation_script(spark, tmp_path):
+    # §3: operations apply in order, each seeing the previous result —
+    # the third op deletes a triple the second op just inserted
+    path = build_store(spark, tmp_path)
+    stats = sparql_update(
+        spark,
+        path,
+        PFX
+        + """DELETE WHERE { ex:d ex:lonely ?o . } ;
+             INSERT DATA { ex:e ex:role "tool" . } ;
+             DELETE DATA { ex:e ex:role "tool" . } ;""",
+    )
+    assert stats["operations"] == 3
+    assert stats["deleted"] == 2 and stats["inserted"] == 1
+    assert spo(spark, path) == sorted(t for t in BASE if t[0] != EX + "d")
+
+
+def test_multi_operation_per_op_prefixes(spark, tmp_path):
+    # each operation carries its own prologue, per the grammar
+    path = build_store(spark, tmp_path)
+    stats = sparql_update(
+        spark,
+        path,
+        PFX
+        + 'INSERT DATA { ex:x ex:p "1" . } ;\n'
+        + f'PREFIX e2: <{EX}>\nDELETE DATA {{ e2:x e2:p "1" . }}',
+    )
+    assert stats["operations"] == 2
+    assert stats["inserted"] == 1 and stats["deleted"] == 1
+    assert spo(spark, path) == sorted(BASE)
 
 
 def test_plain_parquet_store_raises(spark, tmp_path):
