@@ -309,6 +309,29 @@ class UpdateRequest:
     where: Group | None  # None for the ground DATA forms
 
 
+@dataclass
+class GraphMgmtOp:
+    """A SPARQL 1.1 Update graph-management operation (§3.1.4, §3.2)
+    mapped onto the single-graph store:
+
+    - ``kind="clear"`` — CLEAR/DROP DEFAULT|ALL (the two are equivalent
+      here: the default graph cannot be removed, only emptied, which is
+      what the spec prescribes for DROP DEFAULT);
+    - ``kind="noop"`` — an operation that touches only named graphs,
+      of which the store has none (CLEAR/DROP NAMED clears the empty
+      set; a SILENT operation on a named graph suppresses the
+      graph-does-not-exist error into a no-op, per the spec);
+    - ``kind="load"`` — LOAD ``source`` (a document IRI/path; format
+      dispatch by extension via ``read_ontology``) merged into the
+      store with RDF set semantics; with ``silent`` a failed read is a
+      no-op instead of an error (§3.1.4).
+    """
+
+    kind: str  # "clear" | "load" | "noop"
+    source: str | None = None  # LOAD document IRI
+    silent: bool = False
+
+
 # --------------------------------------------------------------------------
 # parser
 # --------------------------------------------------------------------------
@@ -469,11 +492,13 @@ class _Parser:
             raise SyntaxError(f"SPARQL Update: trailing input at {self.peek()[1]!r}")
         return ops
 
-    def _update_operation(self) -> UpdateRequest:
+    def _update_operation(self) -> UpdateRequest | GraphMgmtOp:
         self._prologue()
         delete_t = insert_t = None
         where: Group | None = None
-        if self.at_word("WITH", "USING", "GRAPH", "LOAD", "CLEAR", "DROP", "CREATE", "COPY", "MOVE", "ADD"):
+        if self.at_word("LOAD", "CLEAR", "DROP", "CREATE"):
+            return self._graph_mgmt()
+        if self.at_word("WITH", "USING", "GRAPH", "COPY", "MOVE", "ADD"):
             raise SyntaxError(
                 f"SPARQL Update: {self.peek()[1]!r} is not supported — the store is a single graph"
             )
@@ -506,6 +531,57 @@ class _Parser:
         else:
             raise SyntaxError("SPARQL Update: expected INSERT or DELETE")
         return UpdateRequest(delete_t, insert_t, where)
+
+    def _graph_mgmt(self) -> GraphMgmtOp:
+        """LOAD / CLEAR / DROP / CREATE (§3.1.4, §3.2) against the
+        single-graph store. DEFAULT and ALL target the one graph there
+        is; NAMED targets the (empty) set of named graphs, a no-op; a
+        specific ``GRAPH <iri>`` does not exist here, which is the
+        spec's error — suppressed to a no-op by SILENT. CREATE can
+        never succeed (named graphs are unsupported), so it errors
+        unless SILENT."""
+        verb = self.eat_word("LOAD", "CLEAR", "DROP", "CREATE")
+        silent = self.at_word("SILENT")
+        if silent:
+            self.next()
+        if verb == "LOAD":
+            k, v = self.next()
+            if k != "IRI":
+                raise SyntaxError(f"SPARQL Update: LOAD expects a document IRI, got {v!r}")
+            if self.at_word("INTO"):
+                raise SyntaxError(
+                    "SPARQL Update: LOAD ... INTO GRAPH is not supported — the store is a single graph"
+                )
+            return GraphMgmtOp("load", source=v[1:-1], silent=silent)
+        if verb == "CREATE":
+            self.eat_word("GRAPH")
+            k, v = self.next()
+            if k != "IRI":
+                raise SyntaxError(f"SPARQL Update: CREATE GRAPH expects an IRI, got {v!r}")
+            if silent:
+                return GraphMgmtOp("noop", silent=True)
+            raise SyntaxError(
+                "SPARQL Update: CREATE GRAPH cannot succeed — the store is a "
+                "single graph (use CREATE SILENT GRAPH to make it a no-op)"
+            )
+        # CLEAR | DROP — on the default graph the two coincide: the spec's
+        # DROP DEFAULT "SHOULD be equivalent to CLEAR DEFAULT" (§3.2.3)
+        if self.at_word("DEFAULT", "ALL"):
+            self.next()
+            return GraphMgmtOp("clear", silent=silent)
+        if self.at_word("NAMED"):
+            self.next()
+            return GraphMgmtOp("noop", silent=silent)
+        self.eat_word("GRAPH")
+        k, v = self.next()
+        if k != "IRI":
+            raise SyntaxError(f"SPARQL Update: {verb} GRAPH expects an IRI, got {v!r}")
+        if silent:
+            return GraphMgmtOp("noop", silent=True)
+        raise SyntaxError(
+            f"SPARQL Update: no such graph {v} — the store is a single graph "
+            f"(use {verb} SILENT GRAPH to make it a no-op, or {verb} DEFAULT)"
+        )
 
     def _template(self, ground: bool = False) -> list:
         """A ``{ triples }`` block used as a quad pattern/template; with

@@ -46,7 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .sparql import UpdateRequest, _eval_group, _template_graph, parse_update
+from .sparql import GraphMgmtOp, UpdateRequest, _eval_group, _template_graph, parse_update
 from .triples import read_triples, subj_bucket_of
 
 __all__ = ["sparql_update"]
@@ -117,7 +117,10 @@ def sparql_update(
         "operations": len(reqs),
     }
     for req in reqs:
-        s = _apply_operation(spark, store_path, req)
+        if isinstance(req, GraphMgmtOp):
+            s = _apply_mgmt(spark, store_path, req)
+        else:
+            s = _apply_operation(spark, store_path, req)
         total["deleted"] += s["deleted"]
         total["inserted"] += s["inserted"]
         total["buckets_rewritten"].update(s["buckets_rewritten"])
@@ -127,7 +130,7 @@ def sparql_update(
     return total
 
 
-def _apply_operation(spark: SparkSession, store_path: str, req: UpdateRequest) -> dict:
+def _open_store(spark: SparkSession, store_path: str):
     store = read_triples(spark, store_path)
     n_buckets = getattr(store, "_kg_subj_buckets", None)
     if n_buckets is None:
@@ -135,6 +138,90 @@ def _apply_operation(spark: SparkSession, store_path: str, req: UpdateRequest) -
             "sparql_update: not a write_triples store (missing _kg_meta) — "
             "updates need the bucket layout to stay bucket-local"
         )
+    return store, n_buckets
+
+
+def _apply_mgmt(spark: SparkSession, store_path: str, op: GraphMgmtOp) -> dict:
+    """Graph management (§3.1.4, §3.2) on the single-graph store.
+
+    CLEAR/DROP DEFAULT|ALL drops every bucket DIRECTORY — an O(buckets)
+    metadata operation, no data is read or rewritten (the one full-store
+    touch is the pre-delete count for the lineage counters, a
+    footer-only parquet count). The ``_kg_meta`` sidecar survives, so
+    the emptied store stays readable and re-insertable. LOAD parses the
+    document with ``read_ontology`` (Turtle / RDF/XML by extension, one
+    parse task per file) and merges it through the same set-semantic
+    append path as INSERT: only buckets gaining rows are touched,
+    nothing rewrites. Merge identity is ``(subj, pred, obj)`` — a loaded
+    triple already present keeps the store's row (and its typed-literal
+    metadata); fresh rows carry the document's metadata columns."""
+    stats = {"deleted": 0, "inserted": 0, "buckets_rewritten": [], "buckets_appended": []}
+    if op.kind == "noop":
+        return stats
+    store, n_buckets = _open_store(spark, store_path)
+    if op.kind == "clear":
+        stats["deleted"] = store.count()
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        root = jvm.org.apache.hadoop.fs.Path(store_path)
+        fs = root.getFileSystem(conf)
+        cleared = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if name.startswith("subj_bucket="):
+                cleared.append(int(name.split("=", 1)[1]))
+                fs.delete(st.getPath(), True)
+        stats["buckets_rewritten"] = sorted(cleared)
+        return stats
+    # LOAD: read + eagerly materialize so a bad document fails HERE
+    # (SILENT turns that failure into a no-op, per §3.1.4)
+    from ..sources.rdfxml_source import read_ontology
+
+    try:
+        doc = read_ontology(spark, op.source).localCheckpoint(eager=True)
+    except Exception:
+        if op.silent:
+            return stats
+        raise
+    # an RDF document denotes a SET of triples regardless of repetition
+    ins = doc.dropDuplicates(["subj", "pred", "obj"]).withColumn(
+        "subj_bucket", subj_bucket_of(F.col("subj"), n_buckets)
+    )
+    return _append_new(spark, store_path, store, ins, stats)
+
+
+def _append_new(spark: SparkSession, store_path: str, store, ins, stats: dict) -> dict:
+    """Append ``ins`` rows not already present (set semantics on
+    ``(subj, pred, obj)``), aligned to the store schema — meta columns
+    the incoming frame lacks are null-filled, extra ones dropped. Only
+    the buckets present in ``ins`` are compared against or written."""
+    spo = ["subj", "pred", "obj"]
+    ins_buckets = sorted(r[0] for r in ins.select("subj_bucket").distinct().collect())
+    if not ins_buckets:
+        return stats
+    existing = store.filter(F.col("subj_bucket").isin(ins_buckets))
+    ins_new = ins.join(existing.select(*spo), on=spo, how="left_anti")
+    for c in store.columns:
+        if c not in ins_new.columns:
+            ins_new = ins_new.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
+    ins_new = ins_new.select(*store.columns).localCheckpoint(eager=True)
+    n_new = ins_new.count()
+    if n_new:
+        (
+            ins_new.sortWithinPartitions("subj_bucket", "subj")
+            .write.mode("append")
+            .partitionBy("subj_bucket")
+            .parquet(store_path)
+        )
+        stats["inserted"] += n_new
+        stats["buckets_appended"] = sorted(
+            r[0] for r in ins_new.select("subj_bucket").distinct().collect()
+        )
+    return stats
+
+
+def _apply_operation(spark: SparkSession, store_path: str, req: UpdateRequest) -> dict:
+    store, n_buckets = _open_store(spark, store_path)
     meta_cols = [c for c in store.columns if c not in ("subj", "pred", "obj", "subj_bucket")]
 
     graph = store.select("subj", "pred", "obj")
@@ -220,23 +307,5 @@ def _apply_operation(spark: SparkSession, store_path: str, req: UpdateRequest) -
         ins_a = inserts if not del_buckets else inserts.filter(
             ~F.col("subj_bucket").isin(del_buckets)
         )
-        ins_buckets = sorted(r[0] for r in ins_a.select("subj_bucket").distinct().collect())
-        if ins_buckets:
-            existing = store.filter(F.col("subj_bucket").isin(ins_buckets))
-            ins_new = ins_a.join(existing, on=spo, how="left_anti")
-            for c in meta_cols:
-                ins_new = ins_new.withColumn(c, F.lit(None).cast(store.schema[c].dataType))
-            ins_new = ins_new.select(*store.columns).localCheckpoint(eager=True)
-            n_new = ins_new.count()
-            if n_new:
-                (
-                    ins_new.sortWithinPartitions("subj_bucket", "subj")
-                    .write.mode("append")
-                    .partitionBy("subj_bucket")
-                    .parquet(store_path)
-                )
-                stats["inserted"] += n_new
-                stats["buckets_appended"] = sorted(
-                    r[0] for r in ins_new.select("subj_bucket").distinct().collect()
-                )
+        _append_new(spark, store_path, store, ins_a, stats)
     return stats

@@ -221,3 +221,108 @@ def test_plain_parquet_store_raises(spark, tmp_path):
     spark.createDataFrame(BASE, "subj string, pred string, obj string").write.parquet(path)
     with pytest.raises(ValueError, match="_kg_meta"):
         sparql_update(spark, path, PFX + 'INSERT DATA { ex:e ex:p "v" . }')
+
+
+# --------------------------------------------------------------------------
+# graph management (§3.1.4 LOAD, §3.2 CLEAR/DROP/CREATE)
+# --------------------------------------------------------------------------
+
+
+def test_clear_default_truncates(spark, tmp_path):
+    path = build_store(spark, tmp_path)
+    stats = sparql_update(spark, path, "CLEAR DEFAULT")
+    assert stats["deleted"] == len(BASE) and stats["inserted"] == 0
+    assert stats["buckets_rewritten"]  # the dirs that existed
+    assert spo(spark, path) == []
+    # the emptied store is still a store: inserts land again
+    stats2 = sparql_update(spark, path, PFX + 'INSERT DATA { ex:a ex:role "user" . }')
+    assert stats2["inserted"] == 1
+    assert spo(spark, path) == [(EX + "a", EX + "role", "user")]
+
+
+def test_drop_all_equals_clear(spark, tmp_path):
+    path = build_store(spark, tmp_path)
+    stats = sparql_update(spark, path, "DROP ALL")
+    assert stats["deleted"] == len(BASE)
+    assert spo(spark, path) == []
+
+
+def test_named_graph_forms(spark, tmp_path):
+    path = build_store(spark, tmp_path)
+    # NAMED targets the (empty) set of named graphs — a no-op
+    stats = sparql_update(spark, path, "CLEAR NAMED")
+    assert stats["deleted"] == 0 and spo(spark, path) == sorted(BASE)
+    # a specific graph does not exist: error, suppressed by SILENT
+    with pytest.raises(SyntaxError, match="no such graph"):
+        parse_update("DROP GRAPH <http://example.org/g>")
+    stats = sparql_update(spark, path, "DROP SILENT GRAPH <http://example.org/g>")
+    assert stats["deleted"] == 0 and spo(spark, path) == sorted(BASE)
+    # CREATE can never succeed on a single-graph store
+    with pytest.raises(SyntaxError, match="CREATE GRAPH"):
+        parse_update("CREATE GRAPH <http://example.org/g>")
+    stats = sparql_update(spark, path, "CREATE SILENT GRAPH <http://example.org/g>")
+    assert stats["deleted"] == 0 and stats["inserted"] == 0
+
+
+def test_load_turtle_document(spark, tmp_path):
+    path = build_store(spark, tmp_path)
+    doc = tmp_path / "extra.ttl"
+    doc.write_text(
+        f"@prefix ex: <{EX}> .\n"
+        'ex:z ex:role "observer" .\n'
+        'ex:a ex:role "user" .\n'  # already present — set semantics, no dupe
+        'ex:z ex:role "observer" .\n'  # repeated in the document — one triple
+    )
+    stats = sparql_update(spark, path, f"LOAD <file://{doc}>")
+    assert stats["operations"] == 1
+    assert stats["inserted"] == 1 and stats["deleted"] == 0
+    assert stats["buckets_rewritten"] == []
+    assert spo(spark, path) == sorted(BASE + [(EX + "z", EX + "role", "observer")])
+
+
+def test_load_carries_literal_metadata(spark, tmp_path):
+    # a typed store LOADing a typed document keeps the document's
+    # obj_dtype/is_literal on fresh rows (unlike INSERT DATA's NULLs)
+    rows = [(s, p, o, "xsd:string", True) for s, p, o in BASE]
+    path = build_store(
+        spark, tmp_path, rows=rows,
+        schema="subj string, pred string, obj string, obj_dtype string, is_literal boolean",
+    )
+    doc = tmp_path / "typed.ttl"
+    doc.write_text(f'@prefix ex: <{EX}> .\nex:z ex:age "41"^^<http://www.w3.org/2001/XMLSchema#integer> .\n')
+    sparql_update(spark, path, f"LOAD <file://{doc}>")
+    row = (
+        read_triples(spark, path)
+        .filter(F.col("subj") == EX + "z")
+        .select("obj", "obj_dtype", "is_literal")
+        .collect()
+    )
+    assert len(row) == 1
+    assert row[0]["obj_dtype"] is not None and row[0]["is_literal"] is True
+
+
+def test_load_silent_missing_document(spark, tmp_path):
+    path = build_store(spark, tmp_path)
+    with pytest.raises(Exception):
+        sparql_update(spark, path, f"LOAD <file://{tmp_path}/absent.ttl>")
+    stats = sparql_update(spark, path, f"LOAD SILENT <file://{tmp_path}/absent.ttl>")
+    assert stats["inserted"] == 0 and spo(spark, path) == sorted(BASE)
+    with pytest.raises(SyntaxError, match="INTO GRAPH"):
+        parse_update("LOAD <file:///x.ttl> INTO GRAPH <http://example.org/g>")
+
+
+def test_mgmt_in_migration_script(spark, tmp_path):
+    # CLEAR then LOAD then INSERT DATA in one ;-separated request
+    path = build_store(spark, tmp_path)
+    doc = tmp_path / "seed.ttl"
+    doc.write_text(f'@prefix ex: <{EX}> .\nex:n ex:role "seed" .\n')
+    stats = sparql_update(
+        spark,
+        path,
+        f'CLEAR ALL ;\nLOAD <file://{doc}> ;\n{PFX}INSERT DATA {{ ex:m ex:role "tail" . }}',
+    )
+    assert stats["operations"] == 3
+    assert stats["deleted"] == len(BASE) and stats["inserted"] == 2
+    assert spo(spark, path) == sorted(
+        [(EX + "n", EX + "role", "seed"), (EX + "m", EX + "role", "tail")]
+    )
