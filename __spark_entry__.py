@@ -2176,6 +2176,109 @@ SELECT subj, pred, obj FROM (
 
 
 # ---------------------------------------------------------------------------
+# G20: RDFS forward-chaining entailment materialization
+# ---------------------------------------------------------------------------
+
+# the TBox the rules run over — constant, so the DuckDB twin can inline the
+# closures it entails as VALUES (the driver-oracle convention) while the
+# engine derives them distributively
+_G20_SCHEMA = [
+    ("kg:Customer", "rdfs:subClassOf", "kg:Agent"),
+    ("kg:Supplier", "rdfs:subClassOf", "kg:Agent"),
+    ("kg:Agent", "rdfs:subClassOf", "kg:Party"),
+    ("kg:Nation", "rdfs:subClassOf", "kg:Place"),
+    ("kg:basedIn", "rdfs:subPropertyOf", "kg:locatedIn"),
+    ("kg:locatedIn", "rdfs:subPropertyOf", "kg:relatedTo"),
+    ("kg:locatedIn", "rdfs:domain", "kg:Agent"),
+    ("kg:locatedIn", "rdfs:range", "kg:Place"),
+]
+
+
+def q_rdfs_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G20 (engine extension): RDFS materialization — the inference the
+    reference delegates to GraphDB's rdfs ruleset (E_CreateKG/GraphDB.java
+    repository config), run forward-chained and distributed instead.
+
+    Fixture: customers and suppliers typed + linked to nations through
+    ``kg:basedIn`` only; the TBox declares domain/range on the
+    SUPERproperty and a depth-2 class chain, so every rho-df rule and the
+    stratum interplay (prp-spo1 before prp-dom/rng, cax-sco over derived
+    types) must fire to reach the answer. Oracle: the constant TBox's
+    closures hand-inlined, instance rules as plain joins — an independent
+    closed-form derivation, no recursion."""
+    from knowledgegraphs_spark.operators.entailment import rdfs_materialize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string")).alias("agent"),
+        F.lit("kg:Customer").alias("cls"),
+        F.concat(F.lit("kg:Nation_"), F.col("c_nationkey").cast("string")).alias("nation"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("kg:Supplier_"), F.col("s_suppkey").cast("string")).alias("agent"),
+        F.lit("kg:Supplier").alias("cls"),
+        F.concat(F.lit("kg:Nation_"), F.col("s_nationkey").cast("string")).alias("nation"),
+    )
+    agents = cust.unionByName(supp)
+    nat = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("kg:Nation").alias("obj"),
+    )
+    base = (
+        agents.select(F.col("agent").alias("subj"), F.lit("rdf:type").alias("pred"), F.col("cls").alias("obj"))
+        .unionByName(
+            agents.select(
+                F.col("agent").alias("subj"), F.lit("kg:basedIn").alias("pred"), F.col("nation").alias("obj")
+            )
+        )
+        .unionByName(nat)
+        .unionByName(spark.createDataFrame(_G20_SCHEMA, "subj string, pred string, obj string"))
+    )
+    return rdfs_materialize(base)
+
+
+_G20_SQL = """
+WITH agent AS (
+  SELECT 'kg:Customer_' || c_custkey AS a, 'kg:Customer' AS cls,
+         'kg:Nation_' || c_nationkey AS n FROM customer
+  UNION ALL
+  SELECT 'kg:Supplier_' || s_suppkey, 'kg:Supplier',
+         'kg:Nation_' || s_nationkey FROM supplier
+), nat AS (
+  SELECT 'kg:Nation_' || n_nationkey AS n FROM nation
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  -- asserted: instance side
+  SELECT a AS subj, 'rdf:type' AS pred, cls AS obj FROM agent
+  UNION ALL SELECT a, 'kg:basedIn', n FROM agent
+  UNION ALL SELECT n, 'rdf:type', 'kg:Nation' FROM nat
+  -- asserted: TBox
+  UNION ALL SELECT 'kg:Customer', 'rdfs:subClassOf', 'kg:Agent'
+  UNION ALL SELECT 'kg:Supplier', 'rdfs:subClassOf', 'kg:Agent'
+  UNION ALL SELECT 'kg:Agent', 'rdfs:subClassOf', 'kg:Party'
+  UNION ALL SELECT 'kg:Nation', 'rdfs:subClassOf', 'kg:Place'
+  UNION ALL SELECT 'kg:basedIn', 'rdfs:subPropertyOf', 'kg:locatedIn'
+  UNION ALL SELECT 'kg:locatedIn', 'rdfs:subPropertyOf', 'kg:relatedTo'
+  UNION ALL SELECT 'kg:locatedIn', 'rdfs:domain', 'kg:Agent'
+  UNION ALL SELECT 'kg:locatedIn', 'rdfs:range', 'kg:Place'
+  -- scm-sco / scm-spo: the constant TBox's transitive closure, inlined
+  UNION ALL SELECT 'kg:Customer', 'rdfs:subClassOf', 'kg:Party'
+  UNION ALL SELECT 'kg:Supplier', 'rdfs:subClassOf', 'kg:Party'
+  UNION ALL SELECT 'kg:basedIn', 'rdfs:subPropertyOf', 'kg:relatedTo'
+  -- prp-spo1 through the property chain
+  UNION ALL SELECT a, 'kg:locatedIn', n FROM agent
+  UNION ALL SELECT a, 'kg:relatedTo', n FROM agent
+  -- prp-dom on the derived kg:locatedIn triples, then cax-sco
+  UNION ALL SELECT a, 'rdf:type', 'kg:Agent' FROM agent
+  UNION ALL SELECT a, 'rdf:type', 'kg:Party' FROM agent
+  -- prp-rng gives referenced nations kg:Place; cax-sco gives ALL nations
+  -- kg:Place via kg:Nation < kg:Place (a superset), so one arm suffices
+  UNION ALL SELECT n, 'rdf:type', 'kg:Place' FROM nat
+) t
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
 
@@ -2896,6 +2999,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g17_sparql_having_groupconcat": q_sparql_having_groupconcat,
         "g18_sparql_path_algebra": q_sparql_path_algebra,
         "g19_sparql_update": q_sparql_update,
+        "g20_rdfs_entailment": q_rdfs_entailment,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -2979,6 +3083,7 @@ def oracle_sql() -> dict[str, str]:
         "g17_sparql_having_groupconcat": _G17_SQL,
         "g18_sparql_path_algebra": _G18_SQL,
         "g19_sparql_update": _G19_SQL,
+        "g20_rdfs_entailment": _G20_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,

@@ -1,0 +1,184 @@
+"""RDFS forward-chaining materialization (operators/entailment.py).
+
+Covers each rho-df rule in isolation, the stratum interactions a single
+pass must reach (a subproperty of rdfs:subClassOf feeding the class
+closure; domain/range firing through a derived superproperty triple),
+set semantics, subClassOf cycles, both vocabulary surface forms, and the
+bucket-local store append (untouched bucket directories keep their exact
+file lists; idempotent second pass).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from knowledgegraphs_spark.operators.entailment import materialize_store, rdfs_materialize
+from knowledgegraphs_spark.operators.triples import read_triples, write_triples
+
+SCHEMA = "subj string, pred string, obj string"
+
+
+def mat(spark, rows, **kw):
+    df = rdfs_materialize(spark.createDataFrame(rows, SCHEMA), **kw)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cax_sco_chain(spark):
+    rows = [
+        ("ex:Student", "rdfs:subClassOf", "ex:Person"),
+        ("ex:Person", "rdfs:subClassOf", "ex:Agent"),
+        ("ex:Agent", "rdfs:subClassOf", "ex:Thing"),
+        ("ex:alice", "rdf:type", "ex:Student"),
+    ]
+    out = mat(spark, rows)
+    for cls in ("ex:Person", "ex:Agent", "ex:Thing"):
+        assert ("ex:alice", "rdf:type", cls) in out
+    # scm-sco transitivity is materialized too
+    assert ("ex:Student", "rdfs:subClassOf", "ex:Thing") in out
+
+
+def test_prp_spo1_chain_and_scm_spo(spark):
+    rows = [
+        ("ex:shipsTo", "rdfs:subPropertyOf", "ex:linkedTo"),
+        ("ex:linkedTo", "rdfs:subPropertyOf", "ex:relatedTo"),
+        ("ex:acme", "ex:shipsTo", "ex:france"),
+    ]
+    out = mat(spark, rows)
+    assert ("ex:acme", "ex:linkedTo", "ex:france") in out
+    assert ("ex:acme", "ex:relatedTo", "ex:france") in out
+    assert ("ex:shipsTo", "rdfs:subPropertyOf", "ex:relatedTo") in out
+
+
+def test_domain_range_through_superproperty(spark):
+    # prp-dom/prp-rng must see the prp-spo1 derivations: domain/range are
+    # declared on the SUPERproperty only
+    rows = [
+        ("ex:shipsTo", "rdfs:subPropertyOf", "ex:linkedTo"),
+        ("ex:linkedTo", "rdfs:domain", "ex:Agent"),
+        ("ex:linkedTo", "rdfs:range", "ex:Place"),
+        ("ex:Agent", "rdfs:subClassOf", "ex:Party"),
+        ("ex:acme", "ex:shipsTo", "ex:france"),
+    ]
+    out = mat(spark, rows)
+    assert ("ex:acme", "rdf:type", "ex:Agent") in out
+    assert ("ex:france", "rdf:type", "ex:Place") in out
+    # and cax-sco lifts the domain-derived type
+    assert ("ex:acme", "rdf:type", "ex:Party") in out
+
+
+def test_subproperty_of_subclassof_feeds_class_closure(spark):
+    # the meta case stratum 1 exists for: ex:narrowerThan acts as
+    # rdfs:subClassOf, and the DERIVED subClassOf edge must reach both
+    # the class closure and cax-sco
+    rows = [
+        ("ex:narrowerThan", "rdfs:subPropertyOf", "rdfs:subClassOf"),
+        ("ex:Espresso", "ex:narrowerThan", "ex:Coffee"),
+        ("ex:Coffee", "rdfs:subClassOf", "ex:Drink"),
+        ("ex:solo", "rdf:type", "ex:Espresso"),
+    ]
+    out = mat(spark, rows)
+    assert ("ex:Espresso", "rdfs:subClassOf", "ex:Coffee") in out
+    assert ("ex:Espresso", "rdfs:subClassOf", "ex:Drink") in out
+    assert ("ex:solo", "rdf:type", "ex:Coffee") in out
+    assert ("ex:solo", "rdf:type", "ex:Drink") in out
+
+
+def test_subclass_cycle_terminates(spark):
+    rows = [
+        ("ex:A", "rdfs:subClassOf", "ex:B"),
+        ("ex:B", "rdfs:subClassOf", "ex:A"),
+        ("ex:x", "rdf:type", "ex:A"),
+    ]
+    out = mat(spark, rows)
+    assert ("ex:x", "rdf:type", "ex:B") in out
+    # the cycle entails reflexive subclass edges; no blow-up
+    assert ("ex:A", "rdfs:subClassOf", "ex:A") in out
+    assert len(out) == len(set(out))
+
+
+def test_set_semantics_and_derived_only(spark):
+    rows = [
+        ("ex:Cat", "rdfs:subClassOf", "ex:Animal"),
+        ("ex:tom", "rdf:type", "ex:Cat"),
+        ("ex:tom", "rdf:type", "ex:Animal"),  # already asserted
+    ]
+    full = mat(spark, rows)
+    assert len(full) == len(set(full)) == 3
+    derived = mat(spark, rows, include_base=False)
+    # the one derivation is already asserted -> nothing to add
+    assert derived == []
+
+
+def test_full_iri_vocabulary_form(spark):
+    RDFS = "http://www.w3.org/2000/01/rdf-schema#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        ("ex:Cat", RDFS + "subClassOf", "ex:Animal"),
+        ("ex:tom", RDF + "type", "ex:Cat"),
+    ]
+    out = mat(spark, rows)
+    # derivations come out in the SAME surface form as the input
+    assert ("ex:tom", RDF + "type", "ex:Animal") in out
+    assert not any(p == "rdf:type" for _, p, _ in out)
+
+
+def test_no_schema_is_identity(spark):
+    rows = [("ex:a", "ex:p", "ex:b"), ("ex:c", "ex:q", "d")]
+    assert mat(spark, rows) == sorted(rows)
+    assert mat(spark, rows, include_base=False) == []
+
+
+def test_broadcast_off_same_result(spark):
+    rows = [
+        ("ex:Cat", "rdfs:subClassOf", "ex:Animal"),
+        ("ex:tom", "rdf:type", "ex:Cat"),
+    ]
+    assert mat(spark, rows) == mat(spark, rows, broadcast_schema=False)
+
+
+# --------------------------------------------------------------------------
+# store-side append
+# --------------------------------------------------------------------------
+
+
+def bucket_files(path):
+    out = {}
+    for d in os.listdir(path):
+        if d.startswith("subj_bucket="):
+            out[d] = sorted(
+                f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_materialize_store_bucket_local_and_idempotent(spark, tmp_path):
+    rows = [
+        ("ex:Student", "rdfs:subClassOf", "ex:Person"),
+        ("ex:alice", "rdf:type", "ex:Student"),
+        ("ex:far_away_subject", "ex:unrelated", "v"),
+    ]
+    path = os.path.join(str(tmp_path), "store")
+    write_triples(spark.createDataFrame(rows, SCHEMA), path, n_buckets=16)
+    before = bucket_files(path)
+
+    stats = materialize_store(spark, path)
+    # derivations: alice type Person (subject ex:alice) — only buckets of
+    # derived SUBJECTS gain files; every other bucket keeps its file list
+    assert stats["inserted"] == 1 and stats["deleted"] == 0
+    assert stats["buckets_rewritten"] == []
+    after = bucket_files(path)
+    touched = set(f"subj_bucket={b}" for b in stats["buckets_appended"])
+    for d, files in before.items():
+        if d not in touched:
+            assert after[d] == files
+    got = sorted(
+        tuple(r)
+        for r in read_triples(spark, path).select("subj", "pred", "obj").collect()
+    )
+    assert ("ex:alice", "rdf:type", "ex:Person") in got
+
+    # idempotent: the closure of a closed store adds nothing
+    stats2 = materialize_store(spark, path)
+    assert stats2["inserted"] == 0
+    assert bucket_files(path) == after
