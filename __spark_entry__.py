@@ -2279,6 +2279,76 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 # ---------------------------------------------------------------------------
+# G21: owl:sameAs smushing (OWL 2 RL eq-sym / eq-trans / eq-rep-s / eq-rep-o)
+# ---------------------------------------------------------------------------
+
+
+def q_sameas_smush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21 (engine extension): multi-source identity resolution — each
+    customer appears under THREE IRI schemes (`kg:Customer_k` plus two
+    `u:<number>` aliases whose lexicographic order vs each other varies
+    with the digits, so the canonical pick is a real comparison, not a
+    constant prefix win), linked by a sameAs CHAIN (transitivity
+    required), with data triples scattered across the aliases and orders
+    pointing at an alias in OBJECT position. After smushing every data
+    triple sits on the canonical IRI, aliases survive only as provenance
+    links. Oracle: canonical = LEAST of the three alias strings, rules
+    as plain joins — closed form, no recursion."""
+    from knowledgegraphs_spark.operators.entailment import owl_sameas_smush
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string")).alias("a_kg"),
+        F.concat(F.lit("u:"), (F.col("c_custkey") * 2).cast("string")).alias("a_even"),
+        F.concat(F.lit("u:"), (F.col("c_custkey") * 2 + 1).cast("string")).alias("a_odd"),
+        F.col("c_name").alias("name"),
+        F.concat(F.lit("kg:Nation_"), F.col("c_nationkey").cast("string")).alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.concat(F.lit("kg:Order_"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("kg:placedBy").alias("pred"),
+        F.concat(F.lit("u:"), (F.col("o_custkey") * 2).cast("string")).alias("obj"),
+    )
+    base = (
+        cust.select(F.col("a_kg").alias("subj"), F.lit("owl:sameAs").alias("pred"), F.col("a_even").alias("obj"))
+        .unionByName(cust.select(F.col("a_even").alias("subj"), F.lit("owl:sameAs").alias("pred"), F.col("a_odd").alias("obj")))
+        .unionByName(cust.select(F.col("a_kg").alias("subj"), F.lit("kg:name").alias("pred"), F.col("name").alias("obj")))
+        .unionByName(cust.select(F.col("a_even").alias("subj"), F.lit("kg:inNation").alias("pred"), F.col("nation").alias("obj")))
+        .unionByName(cust.select(F.col("a_odd").alias("subj"), F.lit("kg:segment").alias("pred"), F.col("segment").alias("obj")))
+        .unionByName(orders)
+    )
+    return owl_sameas_smush(base)
+
+
+_G21_SQL = """
+WITH cust AS (
+  SELECT 'kg:Customer_' || c_custkey AS a_kg,
+         'u:' || (c_custkey * 2) AS a_even,
+         'u:' || (c_custkey * 2 + 1) AS a_odd,
+         LEAST('kg:Customer_' || c_custkey,
+               'u:' || (c_custkey * 2),
+               'u:' || (c_custkey * 2 + 1)) AS canon,
+         c_name AS name,
+         'kg:Nation_' || c_nationkey AS nation,
+         c_mktsegment AS segment
+  FROM customer
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT canon AS subj, 'kg:name' AS pred, name AS obj FROM cust
+  UNION ALL SELECT canon, 'kg:inNation', nation FROM cust
+  UNION ALL SELECT canon, 'kg:segment', segment FROM cust
+  UNION ALL
+  SELECT 'kg:Order_' || o.o_orderkey, 'kg:placedBy', c.canon
+  FROM orders o JOIN cust c ON c.a_even = 'u:' || (o.o_custkey * 2)
+  -- provenance links: every non-canonical alias points at the canonical
+  UNION ALL SELECT a_kg, 'owl:sameAs', canon FROM cust WHERE a_kg <> canon
+  UNION ALL SELECT a_even, 'owl:sameAs', canon FROM cust WHERE a_even <> canon
+  UNION ALL SELECT a_odd, 'owl:sameAs', canon FROM cust WHERE a_odd <> canon
+) t
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
 
@@ -3000,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g18_sparql_path_algebra": q_sparql_path_algebra,
         "g19_sparql_update": q_sparql_update,
         "g20_rdfs_entailment": q_rdfs_entailment,
+        "g21_sameas_smush": q_sameas_smush,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -3084,6 +3155,7 @@ def oracle_sql() -> dict[str, str]:
         "g18_sparql_path_algebra": _G18_SQL,
         "g19_sparql_update": _G19_SQL,
         "g20_rdfs_entailment": _G20_SQL,
+        "g21_sameas_smush": _G21_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,

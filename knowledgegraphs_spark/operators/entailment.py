@@ -53,7 +53,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .ontology import ancestor_closure_df
 
-__all__ = ["rdfs_materialize", "materialize_store"]
+__all__ = ["rdfs_materialize", "materialize_store", "owl_sameas_smush"]
 
 _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _RDFS = "http://www.w3.org/2000/01/rdf-schema#"
@@ -173,6 +173,103 @@ def rdfs_materialize(
     if include_base:
         return base.unionByName(derived).dropDuplicates(spo)
     return derived.dropDuplicates(spo).join(base, on=spo, how="left_anti")
+
+
+_SAMEAS = ("owl:sameAs", "http://www.w3.org/2002/07/owl#sameAs")
+
+
+def owl_sameas_smush(
+    triples: DataFrame,
+    keep_links: bool = True,
+    broadcast_mapping: bool = True,
+    cfg=None,
+) -> DataFrame:
+    """OWL identity "smushing": the eq-* fragment of OWL 2 RL
+    (eq-sym, eq-trans, eq-rep-s, eq-rep-o) applied as canonicalization
+    rather than materialization.
+
+    Materializing sameAs entailment literally (every triple copied onto
+    every member of every identity cluster) multiplies the store by the
+    cluster size — the classic sameAs blow-up. The equivalent queryable
+    form is to pick ONE representative per identity cluster and rewrite:
+    symmetry+transitivity collapse into connected components over the
+    ``owl:sameAs`` edges (the engine's large-star/small-star machinery,
+    canonicalize.py — vocabulary-scale clusters take the driver
+    union-find twin automatically), eq-rep-s / eq-rep-o become two joins
+    of the store against the (alias → canonical) mapping. The canonical
+    member is the lexicographic minimum IRI of the cluster —
+    deterministic under any partitioning.
+
+    Scale shape: the mapping is sameAs-graph-sized (aliases only, not
+    store-sized), broadcast by default (``broadcast_mapping=False``
+    falls back to shuffle joins for degenerate identity graphs); the
+    rewrite itself is two hash joins over the store scan plus the final
+    set-semantics dedup (rewrites can collapse asserted duplicates).
+
+    ``keep_links=True`` keeps one provenance triple
+    ``alias sameAs canonical`` per non-canonical alias (the cluster is
+    recoverable); ``False`` drops identity triples entirely. Literal
+    objects are untouched unless a literal lexically equals an alias
+    IRI — RDF strings don't carry a node/literal bit in the 3-column
+    projection; callers with the typed store can pre-filter on
+    ``is_literal``.
+
+    The reference has no sameAs handling (single-source KG; GraphDB
+    would apply owl-rules server-side if configured) — this is the
+    engine-side equivalent for the multi-source case its canonicalize
+    stage (M_Canonicalize) already solves for SURFACE forms.
+    """
+    from .canonicalize import connected_components
+
+    spo = ["subj", "pred", "obj"]
+    base = triples.select(*spo)
+    same = base.filter(F.col("pred").isin(list(_SAMEAS))).localCheckpoint(eager=True)
+    rest = base.filter(~F.col("pred").isin(list(_SAMEAS)))
+    if same.isEmpty():
+        return base
+
+    # majority surface form among the asserted sameAs triples, for the
+    # provenance links
+    n_full = same.filter(F.col("pred") == _SAMEAS[1]).count()
+    link_term = _SAMEAS[1] if n_full * 2 > same.count() else _SAMEAS[0]
+
+    # eq-sym + eq-trans: identity clusters = connected components over
+    # xxhash64 node ids (pure function of the IRI — reproducible)
+    edge_ids = same.select(F.xxhash64("subj").alias("a"), F.xxhash64("obj").alias("b"))
+    comp = connected_components(edge_ids, cfg)
+    members = (
+        same.select(F.col("subj").alias("iri"))
+        .unionByName(same.select(F.col("obj").alias("iri")))
+        .dropDuplicates()
+        .withColumn("node", F.xxhash64("iri"))
+        .join(comp, "node", "left")
+        .withColumn("component", F.coalesce("component", "node"))
+    )
+    canon = members.groupBy("component").agg(F.min("iri").alias("canonical"))
+    mapping = (
+        members.join(canon, "component")
+        .select("iri", "canonical")
+        .localCheckpoint(eager=True)
+    )
+    m = F.broadcast(mapping) if broadcast_mapping else mapping
+
+    # eq-rep-s / eq-rep-o: rewrite both positions through the mapping
+    out = (
+        rest.join(m.withColumnRenamed("iri", "subj"), "subj", "left")
+        .select(
+            F.coalesce("canonical", "subj").alias("subj"), "pred", "obj"
+        )
+        .join(m.withColumnRenamed("iri", "obj"), "obj", "left")
+        .select("subj", "pred", F.coalesce("canonical", "obj").alias("obj"))
+    )
+    if keep_links:
+        links = mapping.filter(F.col("iri") != F.col("canonical")).select(
+            F.col("iri").alias("subj"),
+            F.lit(link_term).alias("pred"),
+            F.col("canonical").alias("obj"),
+        )
+        out = out.unionByName(links)
+    return out.dropDuplicates(spo)
 
 
 def materialize_store(spark, store_path: str) -> dict:

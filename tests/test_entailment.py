@@ -182,3 +182,84 @@ def test_materialize_store_bucket_local_and_idempotent(spark, tmp_path):
     stats2 = materialize_store(spark, path)
     assert stats2["inserted"] == 0
     assert bucket_files(path) == after
+
+
+# --------------------------------------------------------------------------
+# owl:sameAs smushing
+# --------------------------------------------------------------------------
+
+
+def smush(spark, rows, **kw):
+    from knowledgegraphs_spark.operators.entailment import owl_sameas_smush
+
+    df = owl_sameas_smush(spark.createDataFrame(rows, SCHEMA), **kw)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_sameas_chain_rewrites_both_positions(spark):
+    rows = [
+        ("src2:c_1", "owl:sameAs", "src1:cust_1"),
+        ("src1:cust_1", "owl:sameAs", "kg:Customer_1"),  # chain: eq-trans
+        ("kg:Customer_1", "kg:name", "ACME"),
+        ("src1:cust_1", "kg:inNation", "kg:Nation_3"),
+        ("ex:order_9", "kg:placedBy", "src2:c_1"),  # object position
+    ]
+    out = smush(spark, rows)
+    canon = "kg:Customer_1"  # lexicographic min of the cluster
+    assert (canon, "kg:name", "ACME") in out
+    assert (canon, "kg:inNation", "kg:Nation_3") in out
+    assert ("ex:order_9", "kg:placedBy", canon) in out
+    # provenance links for the two non-canonical aliases, nothing else
+    links = [t for t in out if t[1] == "owl:sameAs"]
+    assert sorted(links) == [
+        ("src1:cust_1", "owl:sameAs", canon),
+        ("src2:c_1", "owl:sameAs", canon),
+    ]
+    # no triple mentions a non-canonical alias outside the links
+    assert not any(
+        "src" in t[0] or "src" in t[2] for t in out if t[1] != "owl:sameAs"
+    )
+
+
+def test_sameas_symmetry_and_dedup(spark):
+    rows = [
+        ("ex:a", "owl:sameAs", "ex:b"),
+        ("ex:b", "owl:sameAs", "ex:a"),  # eq-sym asserted both ways
+        ("ex:a", "ex:p", "v"),
+        ("ex:b", "ex:p", "v"),  # collapses onto the same triple
+    ]
+    out = smush(spark, rows)
+    assert out == [("ex:a", "ex:p", "v"), ("ex:b", "owl:sameAs", "ex:a")]
+
+
+def test_sameas_keep_links_false_and_no_sameas_identity(spark):
+    rows = [
+        ("ex:a", "owl:sameAs", "ex:b"),
+        ("ex:b", "ex:p", "v"),
+    ]
+    out = smush(spark, rows, keep_links=False)
+    assert out == [("ex:a", "ex:p", "v")]
+    plain = [("ex:x", "ex:p", "ex:y")]
+    assert smush(spark, plain) == plain
+
+
+def test_sameas_full_iri_form_majority(spark):
+    OWL = "http://www.w3.org/2002/07/owl#sameAs"
+    rows = [
+        ("ex:a", OWL, "ex:b"),
+        ("ex:b", OWL, "ex:c"),
+        ("ex:c", "owl:sameAs", "ex:d"),  # minority compact form
+        ("ex:d", "ex:p", "v"),
+    ]
+    out = smush(spark, rows)
+    assert ("ex:a", "ex:p", "v") in out
+    links = [t for t in out if t[1] == OWL]
+    assert len(links) == 3 and not any(t[1] == "owl:sameAs" for t in out)
+
+
+def test_sameas_broadcast_off_same_result(spark):
+    rows = [
+        ("ex:a", "owl:sameAs", "ex:b"),
+        ("ex:b", "ex:p", "v"),
+    ]
+    assert smush(spark, rows) == smush(spark, rows, broadcast_mapping=False)
