@@ -2349,6 +2349,169 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 # ---------------------------------------------------------------------------
+# G22: OWL 2 RL property-rule entailment (owl_rl_materialize)
+# ---------------------------------------------------------------------------
+
+# constant TBox exercising every OWL 2 RL property rule the engine adds over
+# rho-df: prp-trp, prp-symp, prp-inv, prp-fp, scm-eqp/scm-eqc feeding
+# prp-spo1 / prp-dom / prp-rng / cax-sco. Constant, so the DuckDB twin can
+# inline every schema-closure consequence closed-form (the g20 convention).
+_G22_TBOX = [
+    ("kg:within", "rdf:type", "owl:TransitiveProperty"),
+    ("kg:adjacentTo", "rdf:type", "owl:SymmetricProperty"),
+    ("kg:custRef", "rdf:type", "owl:FunctionalProperty"),
+    ("kg:serves", "owl:inverseOf", "kg:servedBy"),
+    ("kg:suppliesTo", "owl:equivalentProperty", "kg:provides"),
+    ("kg:provides", "rdfs:domain", "kg:Vendor"),
+    ("kg:provides", "rdfs:range", "kg:Product"),
+    ("kg:Vendor", "owl:equivalentClass", "kg:Seller"),
+    ("kg:Seller", "rdfs:subClassOf", "kg:Party"),
+]
+
+
+def q_owl_rl_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G22 (engine extension): OWL 2 RL property rules — the fragment
+    GraphDB's owl-horst/owl2-rl repository rulesets add over plain rdfs
+    (E_CreateKG/GraphDB.java repo config), forward-chained distributed.
+
+    Fixture: a depth-3 ``kg:within`` containment chain (customer → nation
+    → region → kg:World) closes transitively; nation adjacency closes
+    symmetrically; ``kg:serves`` assertions invert to ``kg:servedBy``;
+    supplier part-supply asserted under ``kg:suppliesTo`` must cross the
+    ``owl:equivalentProperty`` bridge to ``kg:provides`` and pick up that
+    property's domain/range typing, then ``owl:equivalentClass`` +
+    ``rdfs:subClassOf`` lift the types; each order asserts its customer
+    ref under TWO alias schemes and ``owl:FunctionalProperty`` derives
+    the identity links. Oracle: the constant TBox's closures inlined, the
+    instance rules as plain joins — closed form, no recursion."""
+    from knowledgegraphs_spark.operators.entailment import owl_rl_materialize
+
+    cust = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("kg:within").alias("pred"),
+        F.concat(F.lit("kg:Nation_"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    nat = _t(spark, sf_dir, "nation")
+    nat_within = nat.select(
+        F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("kg:within").alias("pred"),
+        F.concat(F.lit("kg:Region_"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    nat_adj = nat.filter(F.col("n_nationkey") < 24).select(
+        F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("kg:adjacentTo").alias("pred"),
+        F.concat(F.lit("kg:Nation_"), (F.col("n_nationkey") + 1).cast("string")).alias("obj"),
+    )
+    reg = _t(spark, sf_dir, "region").select(
+        F.concat(F.lit("kg:Region_"), F.col("r_regionkey").cast("string")).alias("subj"),
+        F.lit("kg:within").alias("pred"),
+        F.lit("kg:World").alias("obj"),
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    supp_serves = supp.select(
+        F.concat(F.lit("kg:Supplier_"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit("kg:serves").alias("pred"),
+        F.concat(F.lit("kg:Nation_"), F.col("s_nationkey").cast("string")).alias("obj"),
+    )
+    supp_sells = supp.select(
+        F.concat(F.lit("kg:Supplier_"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit("kg:suppliesTo").alias("pred"),
+        F.concat(F.lit("kg:Part_"), (F.col("s_suppkey") % 200).cast("string")).alias("obj"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    ref_alias = orders.select(
+        F.concat(F.lit("kg:Order_"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("kg:custRef").alias("pred"),
+        F.concat(F.lit("u:"), (F.col("o_custkey") * 2).cast("string")).alias("obj"),
+    )
+    ref_canon = orders.select(
+        F.concat(F.lit("kg:Order_"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("kg:custRef").alias("pred"),
+        F.concat(F.lit("kg:Customer_"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    base = (
+        cust.unionByName(nat_within)
+        .unionByName(nat_adj)
+        .unionByName(reg)
+        .unionByName(supp_serves)
+        .unionByName(supp_sells)
+        .unionByName(ref_alias)
+        .unionByName(ref_canon)
+        .unionByName(spark.createDataFrame(_G22_TBOX, "subj string, pred string, obj string"))
+    )
+    return owl_rl_materialize(base)
+
+
+_G22_SQL = """
+WITH cust AS (
+  SELECT 'kg:Customer_' || c_custkey AS c, 'kg:Nation_' || c_nationkey AS n
+  FROM customer
+), nat AS (
+  SELECT n_nationkey AS k, 'kg:Nation_' || n_nationkey AS n,
+         'kg:Region_' || n_regionkey AS r FROM nation
+), reg AS (
+  SELECT 'kg:Region_' || r_regionkey AS r FROM region
+), supp AS (
+  SELECT 'kg:Supplier_' || s_suppkey AS s, 'kg:Nation_' || s_nationkey AS n,
+         'kg:Part_' || (s_suppkey % 200) AS p FROM supplier
+), ords AS (
+  SELECT 'kg:Order_' || o_orderkey AS o, o_custkey AS ck FROM orders
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  -- asserted: instance side
+  SELECT c AS subj, 'kg:within' AS pred, n AS obj FROM cust
+  UNION ALL SELECT n, 'kg:within', r FROM nat
+  UNION ALL SELECT r, 'kg:within', 'kg:World' FROM reg
+  UNION ALL SELECT n, 'kg:adjacentTo', 'kg:Nation_' || (k + 1) FROM nat WHERE k < 24
+  UNION ALL SELECT s, 'kg:serves', n FROM supp
+  UNION ALL SELECT s, 'kg:suppliesTo', p FROM supp
+  UNION ALL SELECT o, 'kg:custRef', 'u:' || (ck * 2) FROM ords
+  UNION ALL SELECT o, 'kg:custRef', 'kg:Customer_' || ck FROM ords
+  -- asserted: TBox
+  UNION ALL SELECT 'kg:within', 'rdf:type', 'owl:TransitiveProperty'
+  UNION ALL SELECT 'kg:adjacentTo', 'rdf:type', 'owl:SymmetricProperty'
+  UNION ALL SELECT 'kg:custRef', 'rdf:type', 'owl:FunctionalProperty'
+  UNION ALL SELECT 'kg:serves', 'owl:inverseOf', 'kg:servedBy'
+  UNION ALL SELECT 'kg:suppliesTo', 'owl:equivalentProperty', 'kg:provides'
+  UNION ALL SELECT 'kg:provides', 'rdfs:domain', 'kg:Vendor'
+  UNION ALL SELECT 'kg:provides', 'rdfs:range', 'kg:Product'
+  UNION ALL SELECT 'kg:Vendor', 'owl:equivalentClass', 'kg:Seller'
+  UNION ALL SELECT 'kg:Seller', 'rdfs:subClassOf', 'kg:Party'
+  -- prp-trp: the within chain closed (depth-2 and depth-3 hops)
+  UNION ALL SELECT c.c, 'kg:within', n.r FROM cust c JOIN nat n ON c.n = n.n
+  UNION ALL SELECT c.c, 'kg:within', 'kg:World' FROM cust c
+  UNION ALL SELECT n, 'kg:within', 'kg:World' FROM nat
+  -- prp-symp: adjacency reversed
+  UNION ALL SELECT 'kg:Nation_' || (k + 1), 'kg:adjacentTo', n FROM nat WHERE k < 24
+  -- prp-inv: serves inverted
+  UNION ALL SELECT n, 'kg:servedBy', s FROM supp
+  -- scm-eqp (equivalence as two sub edges) + its 2-cycle closure
+  UNION ALL SELECT 'kg:suppliesTo', 'rdfs:subPropertyOf', 'kg:provides'
+  UNION ALL SELECT 'kg:provides', 'rdfs:subPropertyOf', 'kg:suppliesTo'
+  UNION ALL SELECT 'kg:suppliesTo', 'rdfs:subPropertyOf', 'kg:suppliesTo'
+  UNION ALL SELECT 'kg:provides', 'rdfs:subPropertyOf', 'kg:provides'
+  -- scm-eqc + closure through the 2-cycle and on to kg:Party
+  UNION ALL SELECT 'kg:Vendor', 'rdfs:subClassOf', 'kg:Seller'
+  UNION ALL SELECT 'kg:Seller', 'rdfs:subClassOf', 'kg:Vendor'
+  UNION ALL SELECT 'kg:Vendor', 'rdfs:subClassOf', 'kg:Vendor'
+  UNION ALL SELECT 'kg:Seller', 'rdfs:subClassOf', 'kg:Seller'
+  UNION ALL SELECT 'kg:Vendor', 'rdfs:subClassOf', 'kg:Party'
+  -- prp-spo1 across the equivalence bridge
+  UNION ALL SELECT s, 'kg:provides', p FROM supp
+  -- prp-dom / prp-rng on the bridged triples
+  UNION ALL SELECT s, 'rdf:type', 'kg:Vendor' FROM supp
+  UNION ALL SELECT p, 'rdf:type', 'kg:Product' FROM supp
+  -- cax-sco through the eqc cycle and subclass edge
+  UNION ALL SELECT s, 'rdf:type', 'kg:Seller' FROM supp
+  UNION ALL SELECT s, 'rdf:type', 'kg:Party' FROM supp
+  -- prp-fp: both alias schemes of one order's customer ref identify;
+  -- generating set = member -> group minimum ('kg:...' < 'u:...')
+  UNION ALL SELECT DISTINCT 'u:' || (ck * 2), 'owl:sameAs', 'kg:Customer_' || ck FROM ords
+) t
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
 
@@ -3071,6 +3234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g19_sparql_update": q_sparql_update,
         "g20_rdfs_entailment": q_rdfs_entailment,
         "g21_sameas_smush": q_sameas_smush,
+        "g22_owl_rl_entailment": q_owl_rl_entailment,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -3156,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
         "g19_sparql_update": _G19_SQL,
         "g20_rdfs_entailment": _G20_SQL,
         "g21_sameas_smush": _G21_SQL,
+        "g22_owl_rl_entailment": _G22_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,

@@ -28,6 +28,12 @@ in place via ``operators/sparql_update.py`` — bucket-local rewrites, the
 production path for store migrations from a scheduler. The summary line
 then carries the operation's lineage counters (deleted / inserted /
 buckets touched); ``--output`` is rejected (an update has no bindings).
+
+``--entail {rdfs,owl-rl}`` materializes an entailment closure into the
+store instead (``operators/entailment.py``) — derived triples append
+through the same bucket-pruned set-semantics path updates use, so a
+scheduler can close a freshly built store under the chosen ruleset as
+one more pipeline step. Idempotent: re-running reports ``inserted: 0``.
 """
 
 from __future__ import annotations
@@ -44,12 +50,36 @@ def main(argv: list[str] | None = None) -> int:
     q = ap.add_mutually_exclusive_group(required=True)
     q.add_argument("--query", help="SPARQL text (SELECT/ASK/CONSTRUCT)")
     q.add_argument("--query-file", help="file containing the SPARQL text")
+    q.add_argument("--entail", choices=["rdfs", "owl-rl"],
+                   help="materialize an entailment closure into the store "
+                        "instead of running a query (bucket-pruned append; "
+                        "idempotent — a closed store gains nothing)")
     ap.add_argument("--output", help="parquet path for the bindings "
                                      "(omit to print up to --limit rows)")
     ap.add_argument("--limit", type=int, default=20,
                     help="rows to print when no --output is given")
     ap.add_argument("--app-name", default="kg-query")
     args = ap.parse_args(argv)
+
+    if args.entail:
+        if args.output:
+            ap.error("--output is not valid for --entail (no bindings)")
+        from pyspark.sql import SparkSession
+
+        from knowledgegraphs_spark.operators.entailment import materialize_store
+        from knowledgegraphs_spark.session import ENGINE_SQL_CONFS
+
+        builder = SparkSession.builder.appName(args.app_name)
+        for k, v in ENGINE_SQL_CONFS.items():
+            builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        t0 = time.time()
+        stats = materialize_store(spark, args.store, ruleset=args.entail)
+        summary = {"store": args.store, "form": "entail", "ruleset": args.entail, **stats}
+        summary["seconds"] = round(time.time() - t0, 1)
+        print(json.dumps(summary))
+        spark.stop()
+        return 0
 
     if args.query_file:
         with open(args.query_file, encoding="utf-8") as f:

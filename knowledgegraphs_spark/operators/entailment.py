@@ -53,7 +53,12 @@ from pyspark.sql import DataFrame, functions as F
 
 from .ontology import ancestor_closure_df
 
-__all__ = ["rdfs_materialize", "materialize_store", "owl_sameas_smush"]
+__all__ = [
+    "rdfs_materialize",
+    "owl_rl_materialize",
+    "materialize_store",
+    "owl_sameas_smush",
+]
 
 _RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _RDFS = "http://www.w3.org/2000/01/rdf-schema#"
@@ -71,15 +76,16 @@ _FORMS = {
 _VOCAB_PREDS = [v for forms in _FORMS.values() for v in forms]
 
 
-def _emit_form(triples: DataFrame) -> int:
+def _emit_form(triples: DataFrame, extra_preds: tuple = ()) -> int:
     """0 = compact (``rdf:type``), 1 = full IRI — whichever convention
     the input's own vocabulary triples use (majority vote over the
     vocabulary predicates actually present; vocabulary-sized collect).
     Derived triples are emitted in the same convention so they join and
     dedupe against the base graph instead of forking a parallel
-    vocabulary."""
+    vocabulary. ``extra_preds`` widens the vote (the OWL 2 RL path adds
+    its predicate-position vocabulary: inverseOf, equivalent*, sameAs)."""
     counts = (
-        triples.filter(F.col("pred").isin(_VOCAB_PREDS))
+        triples.filter(F.col("pred").isin(_VOCAB_PREDS + list(extra_preds)))
         .groupBy("pred")
         .count()
         .collect()
@@ -170,6 +176,246 @@ def rdfs_materialize(
         .unionByName(derived_cax)
         .unionByName(derived_scm)
     )
+    if include_base:
+        return base.unionByName(derived).dropDuplicates(spo)
+    return derived.dropDuplicates(spo).join(base, on=spo, how="left_anti")
+
+
+_OWL = "http://www.w3.org/2002/07/owl#"
+
+# OWL 2 RL property-axiom vocabulary, both surface forms (compact engine
+# convention / full IRI from ontology-file sources) like _FORMS above
+_OWL_FORMS = {
+    "inverseOf": ("owl:inverseOf", _OWL + "inverseOf"),
+    "equivalentProperty": ("owl:equivalentProperty", _OWL + "equivalentProperty"),
+    "equivalentClass": ("owl:equivalentClass", _OWL + "equivalentClass"),
+    "SymmetricProperty": ("owl:SymmetricProperty", _OWL + "SymmetricProperty"),
+    "TransitiveProperty": ("owl:TransitiveProperty", _OWL + "TransitiveProperty"),
+    "FunctionalProperty": ("owl:FunctionalProperty", _OWL + "FunctionalProperty"),
+    "InverseFunctionalProperty": (
+        "owl:InverseFunctionalProperty",
+        _OWL + "InverseFunctionalProperty",
+    ),
+}
+
+# separator for predicate-scoped closure node keys (prp-trp): control char
+# that cannot appear in an IRI per RFC 3987, so closures of different
+# transitive predicates can share one pointer-doubling pass without mixing
+_TRP_SEP = "\x1f"
+
+
+def _owl_pairs(triples: DataFrame, term: str) -> DataFrame:
+    """(p, q) pairs asserted under either surface form of the OWL term."""
+    return triples.filter(F.col("pred").isin(list(_OWL_FORMS[term]))).select(
+        F.col("subj").alias("p"), F.col("obj").alias("q")
+    )
+
+
+def _typed_props(triples: DataFrame, cls: str) -> list[str]:
+    """Properties declared ``rdf:type owl:<cls>`` — TBox-sized, collected
+    to the driver (same scale judgment as ``_emit_form``: thousands of
+    schema rows against billions of instance rows) so membership tests
+    compile to an ``isin`` literal filter instead of a join."""
+    return [
+        r[0]
+        for r in triples.filter(
+            F.col("pred").isin(list(_FORMS["type"]))
+            & F.col("obj").isin(list(_OWL_FORMS[cls]))
+        )
+        .select("subj")
+        .distinct()
+        .collect()
+    ]
+
+
+def owl_rl_materialize(
+    triples: DataFrame,
+    include_base: bool = True,
+    broadcast_schema: bool = True,
+    max_trans_iters: int = 50,
+) -> DataFrame:
+    """OWL 2 RL property-rule closure of ``triples`` — the rho-df rules of
+    :func:`rdfs_materialize` plus the property-axiom fragment GraphDB's
+    ``owl-horst``/``owl2-rl`` rulesets add over plain ``rdfs``:
+
+    - ``scm-eqp1/2`` / ``scm-eqc1/2``: ``owl:equivalentProperty`` /
+      ``owl:equivalentClass`` feed the sub-property / sub-class closures
+      in BOTH directions (and the closure edges are emitted, so an
+      equivalence is queryable as two ``rdfs:sub*Of`` triples).
+    - ``prp-inv``  (p inverseOf q), (s p o) → (o q s) — and the mirror.
+    - ``prp-symp`` (p type SymmetricProperty), (s p o) → (o p s).
+    - ``prp-trp``  (p type TransitiveProperty): per-predicate transitive
+      closure over the *instance* edges of p.
+    - ``prp-fp``   (p type FunctionalProperty), (x p y1), (x p y2)
+      → y1 sameAs y2; ``prp-ifp`` the subject-side mirror. Emitted as the
+      **generating set** — each group member links to the group minimum —
+      whose eq-sym/eq-trans closure equals the full pairwise entailment;
+      materializing all pairs is the sameAs blow-up
+      :func:`owl_sameas_smush` exists to avoid. Feed the result to the
+      smusher to apply the identities.
+
+    Stratification (single documented pass, same philosophy as the RDFS
+    core): property closure → ``prp-spo1`` → direction rules (inverse /
+    symmetric) → ``prp-trp`` → domain / range → class closure →
+    ``cax-sco`` → functional identities. Each stratum reads every earlier
+    stratum's output, so e.g. an inverse-derived edge of a transitive
+    property closes transitively, and a triple derived through
+    ``equivalentProperty`` picks up the domain typing. The derivations a
+    single pass cannot reach are the meta-loops (rules re-deriving
+    *schema* from instance output) — the same finite fragment noted on
+    :func:`rdfs_materialize`.
+
+    Scale shape: every schema relation (inverse map, equivalence maps,
+    property/class closures) is TBox-sized and broadcast; symmetric /
+    transitive / functional membership compiles to ``isin`` literal
+    filters. The instance-scale work is ``prp-trp`` (pointer doubling
+    over the transitive predicates' edges only — O(log depth) rounds,
+    edges keyed by predicate so one pass closes all transitive
+    predicates) and the functional groupBys (map-side combinable, keyed
+    by (subj, pred) / (pred, obj) over the functional predicates only).
+
+    Reference parity: GraphDB repository rulesets beyond ``rdfs``
+    (E_CreateKG/GraphDB.java creates the repo; the ruleset is repo
+    config), made explicit and distributed.
+    """
+    spo = ["subj", "pred", "obj"]
+    base = triples.select(*spo)
+    owl_pred_vocab = tuple(
+        v
+        for k in ("inverseOf", "equivalentProperty", "equivalentClass")
+        for v in _OWL_FORMS[k]
+    ) + _SAMEAS
+    form = _emit_form(base, extra_preds=owl_pred_vocab)
+    t_type, t_sco, t_spo = (_FORMS[k][form] for k in ("type", "subClassOf", "subPropertyOf"))
+    t_same = _SAMEAS[form]
+
+    def _b(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_schema else df
+
+    eqp = _owl_pairs(base, "equivalentProperty").localCheckpoint(eager=True)
+    eqc = _owl_pairs(base, "equivalentClass").localCheckpoint(eager=True)
+    inv = _owl_pairs(base, "inverseOf").localCheckpoint(eager=True)
+    sym_props = _typed_props(base, "SymmetricProperty")
+    trans_props = _typed_props(base, "TransitiveProperty")
+    fp_props = _typed_props(base, "FunctionalProperty")
+    ifp_props = _typed_props(base, "InverseFunctionalProperty")
+
+    def _both_dirs(pairs: DataFrame) -> DataFrame:
+        return pairs.select(F.col("p").alias("child"), F.col("q").alias("parent")).unionByName(
+            pairs.select(F.col("q").alias("child"), F.col("p").alias("parent"))
+        )
+
+    # -- stratum 1: property hierarchy (sub ∪ equivalence), then prp-spo1 --
+    spo_edges = _edges(base, "subPropertyOf").unionByName(_both_dirs(eqp))
+    spo_cl = ancestor_closure_df(spo_edges).localCheckpoint(eager=True)
+    derived_spo1 = base.join(_b(spo_cl), base["pred"] == spo_cl["node"]).select(
+        "subj", F.col("anc").alias("pred"), "obj"
+    )
+    g1 = base.unionByName(derived_spo1)
+
+    # -- stratum 2: direction rules (prp-inv both mirrors, prp-symp) ------
+    inv_map = inv.unionByName(inv.select(F.col("q").alias("p"), F.col("p").alias("q")))
+    derived_inv = g1.join(_b(inv_map), g1["pred"] == inv_map["p"]).select(
+        F.col("obj").alias("subj"), F.col("q").alias("pred"), F.col("subj").alias("obj")
+    )
+    derived_sym = (
+        g1.filter(F.col("pred").isin(sym_props)).select(
+            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj")
+        )
+        if sym_props
+        else None
+    )
+    g2 = g1.unionByName(derived_inv)
+    if derived_sym is not None:
+        g2 = g2.unionByName(derived_sym)
+
+    # -- stratum 3: prp-trp — one pointer-doubling pass over ALL transitive
+    # predicates' instance edges, node keys scoped by predicate ----------
+    derived_trp = None
+    if trans_props:
+        t_edges = g2.filter(F.col("pred").isin(trans_props)).select(
+            F.concat("pred", F.lit(_TRP_SEP), "subj").alias("child"),
+            F.concat("pred", F.lit(_TRP_SEP), "obj").alias("parent"),
+        )
+        t_cl = ancestor_closure_df(t_edges, max_iters=max_trans_iters)
+        # split on the FIRST separator only: the predicate (an IRI) cannot
+        # contain it, while an object-position literal theoretically could
+        _node_rest = "substring({c}, length(substring_index({c}, chr(31), 1)) + 2)"
+        derived_trp = t_cl.select(
+            F.expr(_node_rest.format(c="node")).alias("subj"),
+            F.substring_index("node", _TRP_SEP, 1).alias("pred"),
+            F.expr(_node_rest.format(c="anc")).alias("obj"),
+        )
+    g3 = g2.unionByName(derived_trp) if derived_trp is not None else g2
+
+    # -- stratum 4: domain / range over every derived edge so far --------
+    dom = _edges(g1, "domain").select(F.col("child").alias("p"), F.col("parent").alias("c"))
+    rng = _edges(g1, "range").select(F.col("child").alias("p"), F.col("parent").alias("c"))
+    derived_dom = g3.join(_b(dom), g3["pred"] == dom["p"]).select(
+        "subj", F.lit(t_type).alias("pred"), F.col("c").alias("obj")
+    )
+    derived_rng = g3.join(_b(rng), g3["pred"] == rng["p"]).select(
+        F.col("obj").alias("subj"), F.lit(t_type).alias("pred"), F.col("c").alias("obj")
+    )
+
+    # -- stratum 5: class hierarchy (sub ∪ equivalence), then cax-sco ----
+    sco_edges = _edges(g1, "subClassOf").unionByName(_both_dirs(eqc))
+    sco_cl = ancestor_closure_df(sco_edges).localCheckpoint(eager=True)
+    types0 = (
+        g3.filter(F.col("pred").isin(list(_FORMS["type"])))
+        .select(*spo)
+        .unionByName(derived_dom)
+        .unionByName(derived_rng)
+    )
+    derived_cax = types0.join(_b(sco_cl), types0["obj"] == sco_cl["node"]).select(
+        "subj", F.lit(t_type).alias("pred"), F.col("anc").alias("obj")
+    )
+
+    # -- stratum 6: functional identities (prp-fp / prp-ifp) -------------
+    def _group_min_links(df: DataFrame, keys: list[str], member: str) -> DataFrame:
+        canon = df.groupBy(*keys).agg(F.min(member).alias("canonical"))
+        return (
+            df.join(canon, keys)
+            .filter(F.col(member) != F.col("canonical"))
+            .select(
+                F.col(member).alias("subj"),
+                F.lit(t_same).alias("pred"),
+                F.col("canonical").alias("obj"),
+            )
+        )
+
+    identity_parts = []
+    if fp_props:
+        identity_parts.append(
+            _group_min_links(g3.filter(F.col("pred").isin(fp_props)), ["subj", "pred"], "obj")
+        )
+    if ifp_props:
+        identity_parts.append(
+            _group_min_links(g3.filter(F.col("pred").isin(ifp_props)), ["pred", "obj"], "subj")
+        )
+
+    # -- schema transitivity output (scm-*) -------------------------------
+    derived_scm = sco_cl.select(
+        F.col("node").alias("subj"), F.lit(t_sco).alias("pred"), F.col("anc").alias("obj")
+    ).unionByName(
+        spo_cl.select(
+            F.col("node").alias("subj"), F.lit(t_spo).alias("pred"), F.col("anc").alias("obj")
+        )
+    )
+
+    derived = derived_spo1.unionByName(derived_inv)
+    if derived_sym is not None:
+        derived = derived.unionByName(derived_sym)
+    if derived_trp is not None:
+        derived = derived.unionByName(derived_trp)
+    derived = (
+        derived.unionByName(derived_dom)
+        .unionByName(derived_rng)
+        .unionByName(derived_cax)
+        .unionByName(derived_scm)
+    )
+    for part in identity_parts:
+        derived = derived.unionByName(part)
     if include_base:
         return base.unionByName(derived).dropDuplicates(spo)
     return derived.dropDuplicates(spo).join(base, on=spo, how="left_anti")
@@ -272,20 +518,26 @@ def owl_sameas_smush(
     return out.dropDuplicates(spo)
 
 
-def materialize_store(spark, store_path: str) -> dict:
-    """Materialize the RDFS closure **into** a ``write_triples`` store:
-    derived triples are appended through the same bucket-pruned
+def materialize_store(spark, store_path: str, ruleset: str = "rdfs") -> dict:
+    """Materialize an entailment closure **into** a ``write_triples``
+    store: derived triples are appended through the same bucket-pruned
     set-semantics path SPARQL Update inserts use — only buckets that
     gain rows are compared against or written, nothing rewrites, and the
     full-width dedup shuffle of ``rdfs_materialize(include_base=True)``
     is replaced by per-bucket anti-joins. Idempotent: a second call
-    appends nothing. Returns the SPARQL-Update-shaped lineage counters.
+    appends nothing. ``ruleset`` picks the closure — ``"rdfs"`` (rho-df)
+    or ``"owl-rl"`` (adds the OWL 2 RL property rules; the GraphDB repo-
+    config choice made explicit). Returns the SPARQL-Update-shaped
+    lineage counters.
     """
     from .sparql_update import _append_new, _open_store
     from .triples import subj_bucket_of
 
+    closures = {"rdfs": rdfs_materialize, "owl-rl": owl_rl_materialize}
+    if ruleset not in closures:
+        raise ValueError(f"materialize_store: unknown ruleset {ruleset!r} (rdfs | owl-rl)")
     store, n_buckets = _open_store(spark, store_path)
-    derived = rdfs_materialize(
+    derived = closures[ruleset](
         store.select("subj", "pred", "obj"), include_base=False
     ).withColumn("subj_bucket", subj_bucket_of(F.col("subj"), n_buckets))
     stats = {"deleted": 0, "inserted": 0, "buckets_rewritten": [], "buckets_appended": []}

@@ -185,6 +185,192 @@ def test_materialize_store_bucket_local_and_idempotent(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# OWL 2 RL property rules (owl_rl_materialize)
+# --------------------------------------------------------------------------
+
+
+def rl(spark, rows, **kw):
+    from knowledgegraphs_spark.operators.entailment import owl_rl_materialize
+
+    df = owl_rl_materialize(spark.createDataFrame(rows, SCHEMA), **kw)
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_prp_inv_both_mirrors(spark):
+    rows = [
+        ("ex:ships", "owl:inverseOf", "ex:shippedBy"),
+        ("ex:acme", "ex:ships", "ex:widget"),
+        ("ex:gear", "ex:shippedBy", "ex:bolt_co"),  # the q→p mirror
+    ]
+    out = rl(spark, rows)
+    assert ("ex:widget", "ex:shippedBy", "ex:acme") in out
+    assert ("ex:bolt_co", "ex:ships", "ex:gear") in out
+
+
+def test_prp_symp(spark):
+    rows = [
+        ("ex:peerOf", "rdf:type", "owl:SymmetricProperty"),
+        ("ex:a", "ex:peerOf", "ex:b"),
+    ]
+    out = rl(spark, rows)
+    assert ("ex:b", "ex:peerOf", "ex:a") in out
+
+
+def test_prp_trp_chain_and_predicate_isolation(spark):
+    # two transitive predicates share one pointer-doubling pass but must
+    # not mix; a non-transitive predicate must not close at all
+    rows = [
+        ("ex:partOf", "rdf:type", "owl:TransitiveProperty"),
+        ("ex:within", "rdf:type", "owl:TransitiveProperty"),
+        ("ex:piston", "ex:partOf", "ex:engine"),
+        ("ex:engine", "ex:partOf", "ex:car"),
+        ("ex:car", "ex:partOf", "ex:fleet"),
+        ("ex:engine", "ex:within", "ex:bay"),
+        ("ex:bay", "ex:within", "ex:garage"),
+        ("ex:x", "ex:plain", "ex:y"),
+        ("ex:y", "ex:plain", "ex:z"),
+    ]
+    out = rl(spark, rows)
+    assert ("ex:piston", "ex:partOf", "ex:car") in out
+    assert ("ex:piston", "ex:partOf", "ex:fleet") in out
+    assert ("ex:engine", "ex:within", "ex:garage") in out
+    # no cross-predicate mixing: partOf facts never close through within
+    assert ("ex:piston", "ex:within", "ex:garage") not in out
+    assert ("ex:piston", "ex:partOf", "ex:bay") not in out
+    assert ("ex:x", "ex:plain", "ex:z") not in out
+
+
+def test_eqp_feeds_spo1_and_domain(spark):
+    # equivalentProperty works both directions and the derived triple
+    # picks up the equivalent property's domain typing
+    rows = [
+        ("ex:supplies", "owl:equivalentProperty", "ex:provides"),
+        ("ex:provides", "rdfs:domain", "ex:Vendor"),
+        ("ex:acme", "ex:supplies", "ex:widget"),
+        ("ex:bolt_co", "ex:provides", "ex:bolt"),
+    ]
+    out = rl(spark, rows)
+    assert ("ex:acme", "ex:provides", "ex:widget") in out
+    assert ("ex:bolt_co", "ex:supplies", "ex:bolt") in out
+    assert ("ex:acme", "rdf:type", "ex:Vendor") in out
+    # the equivalence is queryable as two subPropertyOf edges (scm-eqp)
+    assert ("ex:supplies", "rdfs:subPropertyOf", "ex:provides") in out
+    assert ("ex:provides", "rdfs:subPropertyOf", "ex:supplies") in out
+
+
+def test_eqc_feeds_cax_both_directions(spark):
+    rows = [
+        ("ex:Vendor", "owl:equivalentClass", "ex:Seller"),
+        ("ex:Seller", "rdfs:subClassOf", "ex:Party"),
+        ("ex:acme", "rdf:type", "ex:Vendor"),
+        ("ex:bolt_co", "rdf:type", "ex:Seller"),
+    ]
+    out = rl(spark, rows)
+    assert ("ex:acme", "rdf:type", "ex:Seller") in out
+    assert ("ex:bolt_co", "rdf:type", "ex:Vendor") in out
+    # and the equivalence reaches the class closure: Vendor ≤ Party
+    assert ("ex:acme", "rdf:type", "ex:Party") in out
+
+
+def test_prp_fp_and_ifp_generating_set(spark):
+    rows = [
+        ("ex:ref", "rdf:type", "owl:FunctionalProperty"),
+        ("ex:order_1", "ex:ref", "u:20"),
+        ("ex:order_1", "ex:ref", "kg:Customer_10"),
+        ("ex:order_1", "ex:ref", "v:900"),
+        ("ex:email", "rdf:type", "owl:InverseFunctionalProperty"),
+        ("ex:p1", "ex:email", "a@x"),
+        ("ex:p2", "ex:email", "a@x"),
+    ]
+    out = rl(spark, rows)
+    # fp: every non-min object links to the group min (kg: < u: < v:)
+    assert ("u:20", "owl:sameAs", "kg:Customer_10") in out
+    assert ("v:900", "owl:sameAs", "kg:Customer_10") in out
+    # the generating set, not the pairwise closure
+    assert ("v:900", "owl:sameAs", "u:20") not in out
+    # ifp: subject-side identity
+    assert ("ex:p2", "owl:sameAs", "ex:p1") in out
+
+
+def test_inverse_derived_edge_closes_transitively(spark):
+    # stratum interplay: hasPart is transitive; partOf edges arrive only
+    # via inverseOf, then must close under prp-trp
+    rows = [
+        ("ex:hasPart", "rdf:type", "owl:TransitiveProperty"),
+        ("ex:partOf", "owl:inverseOf", "ex:hasPart"),
+        ("ex:piston", "ex:partOf", "ex:engine"),
+        ("ex:engine", "ex:partOf", "ex:car"),
+    ]
+    out = rl(spark, rows)
+    assert ("ex:car", "ex:hasPart", "ex:piston") in out
+
+
+def test_owl_rl_is_superset_of_rdfs_on_rdfs_input(spark):
+    rows = [
+        ("ex:shipsTo", "rdfs:subPropertyOf", "ex:linkedTo"),
+        ("ex:linkedTo", "rdfs:domain", "ex:Agent"),
+        ("ex:Agent", "rdfs:subClassOf", "ex:Party"),
+        ("ex:acme", "ex:shipsTo", "ex:france"),
+    ]
+    assert rl(spark, rows) == mat(spark, rows)
+
+
+def test_owl_rl_full_iri_form(spark):
+    OWL = "http://www.w3.org/2002/07/owl#"
+    RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    rows = [
+        ("ex:peerOf", RDF + "type", OWL + "SymmetricProperty"),
+        ("ex:ref", RDF + "type", OWL + "FunctionalProperty"),
+        ("ex:a", "ex:peerOf", "ex:b"),
+        ("ex:o", "ex:ref", "ex:v2"),
+        ("ex:o", "ex:ref", "ex:v1"),
+    ]
+    out = rl(spark, rows)
+    assert ("ex:b", "ex:peerOf", "ex:a") in out
+    # identity emitted in the input's (full-IRI) surface form
+    assert ("ex:v2", OWL + "sameAs", "ex:v1") in out
+    assert not any(p == "owl:sameAs" for _, p, _ in out)
+
+
+def test_owl_rl_smush_composition(spark):
+    from knowledgegraphs_spark.operators.entailment import (
+        owl_rl_materialize,
+        owl_sameas_smush,
+    )
+
+    rows = [
+        ("ex:ref", "rdf:type", "owl:FunctionalProperty"),
+        ("ex:order_1", "ex:ref", "u:20"),
+        ("ex:order_1", "ex:ref", "kg:Customer_10"),
+        ("u:20", "kg:name", "ACME"),
+    ]
+    closed = owl_rl_materialize(spark.createDataFrame(rows, SCHEMA))
+    out = sorted(tuple(r) for r in owl_sameas_smush(closed).collect())
+    # the functional identity collapsed the alias: data moved to canonical
+    assert ("kg:Customer_10", "kg:name", "ACME") in out
+    assert not any(t[0] == "u:20" for t in out if t[1] != "owl:sameAs")
+
+
+def test_materialize_store_owl_rl_ruleset(spark, tmp_path):
+    rows = [
+        ("ex:peerOf", "rdf:type", "owl:SymmetricProperty"),
+        ("ex:a", "ex:peerOf", "ex:b"),
+    ]
+    path = os.path.join(str(tmp_path), "store_rl")
+    write_triples(spark.createDataFrame(rows, SCHEMA), path, n_buckets=8)
+    stats = materialize_store(spark, path, ruleset="owl-rl")
+    assert stats["inserted"] == 1 and stats["buckets_rewritten"] == []
+    got = sorted(
+        tuple(r)
+        for r in read_triples(spark, path).select("subj", "pred", "obj").collect()
+    )
+    assert ("ex:b", "ex:peerOf", "ex:a") in got
+    assert materialize_store(spark, path, ruleset="owl-rl")["inserted"] == 0
+    with pytest.raises(ValueError, match="unknown ruleset"):
+        materialize_store(spark, path, ruleset="owl-dl")
+
+
+# --------------------------------------------------------------------------
 # owl:sameAs smushing
 # --------------------------------------------------------------------------
 

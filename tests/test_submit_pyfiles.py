@@ -313,3 +313,41 @@ def test_submit_query_job_update(spark, turns_input, tmp_path):
         ("kg:B", "kg:status", "migrated"),
         ("kg:C", "kg:other", "x"),
     ]
+
+
+def test_submit_query_job_entail(spark, turns_input, tmp_path):
+    """``--entail owl-rl`` closes a store under the OWL 2 RL rules from a
+    separate spark-submit process (the scheduler's post-build step), and
+    a second submit proves idempotence through a genuinely new JVM."""
+    from knowledgegraphs_spark.operators.triples import read_triples, write_triples
+
+    tmp, _ = turns_input
+    zpath = _zip_package(tmp)
+    rows = [
+        ("kg:peerOf", "rdf:type", "owl:SymmetricProperty"),
+        ("kg:Vendor", "rdfs:subClassOf", "kg:Party"),
+        ("kg:acme", "rdf:type", "kg:Vendor"),
+        ("kg:acme", "kg:peerOf", "kg:bolt_co"),
+    ]
+    store = str(tmp_path / "entail_store")
+    write_triples(
+        spark.createDataFrame(rows, "subj string, pred string, obj string"),
+        store, n_buckets=4,
+    )
+    qsum, _printed = _submit_query(
+        tmp, zpath, "--store", store, "--entail", "owl-rl",
+    )
+    assert qsum["form"] == "entail" and qsum["ruleset"] == "owl-rl"
+    # exactly two NEW triples: prp-symp reverse + cax-sco type lift (the
+    # scm-sco closure edge Vendor⊑Party is already asserted → set semantics)
+    assert qsum["inserted"] == 2 and qsum["buckets_rewritten"] == []
+    got = {
+        tuple(r)
+        for r in read_triples(spark, store).select("subj", "pred", "obj").collect()
+    }
+    assert ("kg:bolt_co", "kg:peerOf", "kg:acme") in got
+    assert ("kg:acme", "rdf:type", "kg:Party") in got
+    assert len(got) == len(rows) + 2
+
+    qsum2, _ = _submit_query(tmp, zpath, "--store", store, "--entail", "owl-rl")
+    assert qsum2["inserted"] == 0
