@@ -3142,6 +3142,47 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# t3: sequence packing — global token offsets + fixed-budget bin layout
+# ---------------------------------------------------------------------------
+
+_T3_BUDGET = 512
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 (engine extension): lay the corpus on a contiguous token stream
+    in doc_id order and chunk into 512-token bins — the training-data
+    packing step. The engine computes the global prefix sum DISTRIBUTED
+    (range layout → per-partition totals to the driver → partition-local
+    windows; operators/packing.py), never as a single-partition global
+    window; the oracle IS that single global window (DuckDB), so the
+    comparison proves the distributed offsets equal the textbook cumsum."""
+    from knowledgegraphs_spark.operators.packing import pack_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_documents(docs.select("doc_id", "text"), budget=_T3_BUDGET)
+
+
+_T3_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_offset
+  FROM d
+)
+SELECT doc_id, n_tokens, start_offset,
+  (start_offset // {_T3_BUDGET})::BIGINT AS bin_id,
+  (start_offset % {_T3_BUDGET})::BIGINT AS bin_offset,
+  ((start_offset + greatest(n_tokens, 1) - 1) // {_T3_BUDGET})
+    <> (start_offset // {_T3_BUDGET}) AS straddle
+FROM c
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # d5: exact embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
@@ -3242,6 +3283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w7_incremental_kg": q_incremental_kg,
         "t1_text_profile": q_text_profile,
         "t2_token_stats": q_token_stats,
+        "t3_sequence_packing": q_sequence_packing,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3328,6 +3370,7 @@ def oracle_sql() -> dict[str, str]:
         "w7_incremental_kg": _kg_incr_sql(),
         "t1_text_profile": _TEXT_PROFILE_SQL,
         "t2_token_stats": _T2_SQL,
+        "t3_sequence_packing": _T3_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
