@@ -56,7 +56,10 @@ from .ontology import ancestor_closure_df
 __all__ = [
     "rdfs_materialize",
     "owl_rl_materialize",
+    "rdfs_materialize_delta",
+    "owl_rl_materialize_delta",
     "materialize_store",
+    "materialize_store_delta",
     "owl_sameas_smush",
 ]
 
@@ -516,6 +519,177 @@ def owl_sameas_smush(
         )
         out = out.unionByName(links)
     return out.dropDuplicates(spo)
+
+
+# ---------------------------------------------------------------------------
+# incremental (semi-naive) entailment: close a DELTA against a closed store
+# ---------------------------------------------------------------------------
+
+# predicate-position schema vocabulary per ruleset — a delta containing any
+# of these (or an owl property-class type declaration) can entail new
+# conclusions over OLD instance data, which only a full re-materialization
+# reaches; the delta paths refuse and the store wrapper falls back.
+_RDFS_SCHEMA_PREDS = [
+    v for k in ("subClassOf", "subPropertyOf", "domain", "range") for v in _FORMS[k]
+]
+
+
+def _owl_schema_preds() -> list[str]:
+    return _RDFS_SCHEMA_PREDS + [
+        v
+        for k in ("inverseOf", "equivalentProperty", "equivalentClass")
+        for v in _OWL_FORMS[k]
+    ]
+
+
+def _owl_class_objs() -> list[str]:
+    return [
+        v
+        for k in (
+            "SymmetricProperty",
+            "TransitiveProperty",
+            "FunctionalProperty",
+            "InverseFunctionalProperty",
+        )
+        for v in _OWL_FORMS[k]
+    ]
+
+
+def _is_schema(triples: DataFrame, owl: bool) -> "DataFrame":
+    """The schema-bearing rows of ``triples`` under the given ruleset."""
+    preds = _owl_schema_preds() if owl else _RDFS_SCHEMA_PREDS
+    cond = F.col("pred").isin(preds)
+    if owl:
+        cond = cond | (
+            F.col("pred").isin(list(_FORMS["type"])) & F.col("obj").isin(_owl_class_objs())
+        )
+    return triples.filter(cond)
+
+
+def _require_instance_only(delta: DataFrame, owl: bool, caller: str) -> None:
+    if not _is_schema(delta.select("subj", "pred", "obj"), owl).isEmpty():
+        raise ValueError(
+            f"{caller}: the delta contains schema triples — new schema can "
+            "entail conclusions over OLD instance data, which only a full "
+            "re-materialization reaches (materialize_store falls back "
+            "automatically)"
+        )
+
+
+def rdfs_materialize_delta(
+    store: DataFrame, delta: DataFrame, broadcast_schema: bool = True
+) -> DataFrame:
+    """Conclusions entailed by ``delta`` against a ``store`` already closed
+    under :func:`rdfs_materialize` — the semi-naive increment.
+
+    Every rho-df rule has exactly ONE instance antecedent (the other
+    antecedents are schema), so the increment is the full rule pipeline
+    applied to ``delta`` plus the store's TBox-sized schema slice: cost is
+    O(delta), never O(store). ``delta`` must be instance-only (raises
+    otherwise — see :func:`materialize_store_delta` for the fallback).
+    Output may repeat triples the store already holds (pure-old
+    conclusions are closed by assumption and never re-derived; delta
+    conclusions already asserted are the caller's anti-join, which the
+    store path does per-bucket).
+    """
+    _require_instance_only(delta, owl=False, caller="rdfs_materialize_delta")
+    spo = ["subj", "pred", "obj"]
+    tbox = _is_schema(store.select(*spo), owl=False)
+    return rdfs_materialize(
+        delta.select(*spo).unionByName(tbox),
+        include_base=False,
+        broadcast_schema=broadcast_schema,
+    )
+
+
+def owl_rl_materialize_delta(
+    store: DataFrame, delta: DataFrame, broadcast_schema: bool = True
+) -> DataFrame:
+    """Conclusions entailed by ``delta`` against a ``store`` already closed
+    under :func:`owl_rl_materialize`.
+
+    Unlike rho-df, two owl-rl rule families have MULTIPLE instance
+    antecedents — a new edge of a transitive predicate can close through
+    OLD edges (prp-trp), and a new functional assertion can identify
+    against an OLD one sharing its (subject, predicate) group (prp-fp /
+    prp-ifp). The increment therefore runs over ``delta`` + the store's
+    schema slice + the store's **rule-relevant instance slices**: the
+    triples of transitive / functional / inverse-functional predicates
+    only. Cost is O(delta + those predicate families), never O(store) —
+    the bounded price of the multi-antecedent rules. Pure-old
+    combinations re-derive triples the store already holds; the store
+    path's per-bucket anti-join drops them (and prp-fp's group minimum
+    may shift to a new member — the old links plus the new ones still
+    generate the same identity clusters, the documented generating-set
+    semantics).
+    """
+    _require_instance_only(delta, owl=True, caller="owl_rl_materialize_delta")
+    spo = ["subj", "pred", "obj"]
+    store_spo = store.select(*spo)
+    tbox = _is_schema(store_spo, owl=True).localCheckpoint(eager=True)
+    multi = (
+        _typed_props(tbox, "TransitiveProperty")
+        + _typed_props(tbox, "FunctionalProperty")
+        + _typed_props(tbox, "InverseFunctionalProperty")
+    )
+    relevant = store_spo.filter(F.col("pred").isin(multi)) if multi else None
+    inc = delta.select(*spo).unionByName(tbox)
+    if relevant is not None:
+        inc = inc.unionByName(relevant)
+    return owl_rl_materialize(
+        inc, include_base=False, broadcast_schema=broadcast_schema
+    )
+
+
+def materialize_store_delta(
+    spark, store_path: str, delta: DataFrame, ruleset: str = "rdfs"
+) -> dict:
+    """Insert ``delta`` into a ``write_triples`` store AND close the store
+    over the new triples' entailments, both through the bucket-pruned
+    set-semantics append — the maintenance-batch shape (O(batch + rule-
+    relevant slices), untouched buckets never read or written). A delta
+    carrying schema triples falls back to a full
+    :func:`materialize_store` pass after the insert (recorded as
+    ``full_fallback`` in the counters). Idempotent like the full path.
+    """
+    from .sparql_update import _append_new, _open_store
+    from .triples import subj_bucket_of
+
+    deltas = {"rdfs": rdfs_materialize_delta, "owl-rl": owl_rl_materialize_delta}
+    if ruleset not in deltas:
+        raise ValueError(f"materialize_store_delta: unknown ruleset {ruleset!r} (rdfs | owl-rl)")
+    store, n_buckets = _open_store(spark, store_path)
+    spo = ["subj", "pred", "obj"]
+    delta = delta.select(*spo).localCheckpoint(eager=True)
+
+    stats = {"deleted": 0, "inserted": 0, "buckets_rewritten": [], "buckets_appended": []}
+    ins = delta.withColumn("subj_bucket", subj_bucket_of(F.col("subj"), n_buckets))
+    stats = _append_new(spark, store_path, store, ins, stats)
+    stats["inserted_delta"] = stats["inserted"]
+
+    owl = ruleset == "owl-rl"
+    if not _is_schema(delta, owl).isEmpty():
+        full = materialize_store(spark, store_path, ruleset=ruleset)
+        return {
+            **full,
+            "inserted": stats["inserted"] + full["inserted"],
+            "inserted_delta": stats["inserted_delta"],
+            "buckets_appended": sorted(
+                set(stats["buckets_appended"]) | set(full["buckets_appended"])
+            ),
+            "full_fallback": True,
+        }
+
+    store2, _ = _open_store(spark, store_path)
+    fn = rdfs_materialize_delta if ruleset == "rdfs" else owl_rl_materialize_delta
+    derived = fn(store2.select(*spo), delta).withColumn(
+        "subj_bucket", subj_bucket_of(F.col("subj"), n_buckets)
+    )
+    appended_before = set(stats["buckets_appended"])
+    stats = _append_new(spark, store_path, store2, derived, stats)
+    stats["buckets_appended"] = sorted(appended_before | set(stats["buckets_appended"]))
+    stats["full_fallback"] = False
+    return stats
 
 
 def materialize_store(spark, store_path: str, ruleset: str = "rdfs") -> dict:

@@ -371,6 +371,142 @@ def test_materialize_store_owl_rl_ruleset(spark, tmp_path):
 
 
 # --------------------------------------------------------------------------
+# incremental (semi-naive) delta entailment
+# --------------------------------------------------------------------------
+
+
+def store_triples(spark, path):
+    return {
+        tuple(r)
+        for r in read_triples(spark, path).select("subj", "pred", "obj").collect()
+    }
+
+
+def closed_set(spark, rows, fn):
+    return {tuple(r) for r in fn(spark.createDataFrame(rows, SCHEMA)).collect()}
+
+
+def test_delta_rdfs_equals_full_rebuild(spark, tmp_path):
+    from knowledgegraphs_spark.operators.entailment import (
+        materialize_store_delta,
+        rdfs_materialize,
+    )
+
+    base = [
+        ("ex:Student", "rdfs:subClassOf", "ex:Person"),
+        ("ex:enrolledAt", "rdfs:domain", "ex:Student"),
+        ("ex:alice", "rdf:type", "ex:Student"),
+    ]
+    delta = [
+        ("ex:bob", "rdf:type", "ex:Student"),
+        ("ex:carol", "ex:enrolledAt", "ex:mit"),
+    ]
+    path = os.path.join(str(tmp_path), "d_store")
+    write_triples(spark.createDataFrame(base, SCHEMA), path, n_buckets=8)
+    materialize_store(spark, path)  # close the base first
+
+    stats = materialize_store_delta(
+        spark, path, spark.createDataFrame(delta, SCHEMA)
+    )
+    assert stats["full_fallback"] is False
+    assert stats["inserted_delta"] == 2
+    # derived from the delta: bob->Person, carol type Student, carol type
+    # Person (domain then cax through the closed schema)
+    assert stats["inserted"] == 2 + 3
+    assert store_triples(spark, path) == closed_set(
+        spark, base + delta, rdfs_materialize
+    )
+    # idempotent: replaying the same delta adds nothing
+    stats2 = materialize_store_delta(spark, path, spark.createDataFrame(delta, SCHEMA))
+    assert stats2["inserted"] == 0
+
+
+def test_delta_owl_rl_multi_antecedent_rules_see_old_instances(spark, tmp_path):
+    """The two multi-antecedent families must close ACROSS the old/new
+    boundary: a delta edge extends an old transitive chain, and a delta
+    functional assertion identifies against an old one."""
+    from knowledgegraphs_spark.operators.entailment import (
+        materialize_store_delta,
+        owl_rl_materialize,
+    )
+
+    base = [
+        ("kg:partOf", "rdf:type", "owl:TransitiveProperty"),
+        ("kg:ref", "rdf:type", "owl:FunctionalProperty"),
+        ("ex:piston", "kg:partOf", "ex:engine"),
+        ("ex:order_1", "kg:ref", "kg:Customer_7"),
+    ]
+    delta = [
+        ("ex:engine", "kg:partOf", "ex:car"),
+        ("ex:order_1", "kg:ref", "u:14"),
+    ]
+    path = os.path.join(str(tmp_path), "d_store_rl")
+    write_triples(spark.createDataFrame(base, SCHEMA), path, n_buckets=8)
+    materialize_store(spark, path, ruleset="owl-rl")
+
+    stats = materialize_store_delta(
+        spark, path, spark.createDataFrame(delta, SCHEMA), ruleset="owl-rl"
+    )
+    assert stats["full_fallback"] is False
+    got = store_triples(spark, path)
+    # old piston->engine x delta engine->car must close
+    assert ("ex:piston", "kg:partOf", "ex:car") in got
+    # delta u:14 must identify against the OLD kg:Customer_7 assertion
+    assert ("u:14", "owl:sameAs", "kg:Customer_7") in got
+    assert got == closed_set(spark, base + delta, owl_rl_materialize)
+
+
+def test_delta_with_schema_raises_and_store_falls_back(spark, tmp_path):
+    from knowledgegraphs_spark.operators.entailment import (
+        materialize_store_delta,
+        owl_rl_materialize_delta,
+        rdfs_materialize,
+        rdfs_materialize_delta,
+    )
+
+    base = [("ex:alice", "rdf:type", "ex:Student")]
+    schema_delta = [("ex:Student", "rdfs:subClassOf", "ex:Person")]
+    store_df = spark.createDataFrame(base, SCHEMA)
+    delta_df = spark.createDataFrame(schema_delta, SCHEMA)
+    with pytest.raises(ValueError, match="schema"):
+        rdfs_materialize_delta(store_df, delta_df)
+    with pytest.raises(ValueError, match="schema"):
+        owl_rl_materialize_delta(store_df, delta_df)
+    # an owl axiom is schema only for the owl ruleset's delta guard
+    owl_delta = spark.createDataFrame(
+        [("kg:p", "rdf:type", "owl:TransitiveProperty")], SCHEMA
+    )
+    rdfs_materialize_delta(store_df, owl_delta)  # fine: rdfs ignores owl
+    with pytest.raises(ValueError, match="schema"):
+        owl_rl_materialize_delta(store_df, owl_delta)
+
+    # store wrapper: schema delta lands, then a full re-materialization
+    # picks up the new-schema x old-instance conclusions
+    path = os.path.join(str(tmp_path), "d_fallback")
+    write_triples(store_df, path, n_buckets=8)
+    materialize_store(spark, path)
+    stats = materialize_store_delta(spark, path, delta_df)
+    assert stats["full_fallback"] is True
+    assert stats["inserted_delta"] == 1
+    got = store_triples(spark, path)
+    assert ("ex:alice", "rdf:type", "ex:Person") in got
+    assert got == closed_set(spark, base + schema_delta, rdfs_materialize)
+
+
+def test_delta_unknown_ruleset_raises(spark, tmp_path):
+    from knowledgegraphs_spark.operators.entailment import materialize_store_delta
+
+    path = os.path.join(str(tmp_path), "d_bad")
+    write_triples(
+        spark.createDataFrame([("a", "p", "b")], SCHEMA), path, n_buckets=4
+    )
+    with pytest.raises(ValueError, match="unknown ruleset"):
+        materialize_store_delta(
+            spark, path, spark.createDataFrame([("c", "p", "d")], SCHEMA), ruleset="x"
+        )
+
+
+# --------------------------------------------------------------------------
 # owl:sameAs smushing
 # --------------------------------------------------------------------------
 
