@@ -2512,6 +2512,112 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 # ---------------------------------------------------------------------------
+# G23: incremental (semi-naive) delta entailment over a live store
+# ---------------------------------------------------------------------------
+
+_G23_TBOX = [
+    ("kg:partOf", "rdf:type", "owl:TransitiveProperty"),
+    ("kg:custRef", "rdf:type", "owl:FunctionalProperty"),
+    ("kg:Supplier", "rdfs:subClassOf", "kg:Agent"),
+]
+
+
+def q_delta_entailment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G23 (engine extension): incremental entailment maintenance — a
+    store is closed under OWL 2 RL, then a maintenance batch lands
+    through ``materialize_store_delta`` (O(batch + rule-relevant slices),
+    bucket-pruned appends, never a store rescan). The batch is built to
+    require CROSS-BOUNDARY closure: its ``kg:partOf`` edges (customer →
+    nation) only derive customer → region through the store's OLD nation
+    → region edges (prp-trp), and its alias ``kg:custRef`` assertions
+    only identify against the store's OLD canonical refs (prp-fp).
+    Returned: the post-delta store, value-checked against the closed-form
+    full closure of base + delta — incremental == rebuild, the
+    maintenance invariant."""
+    import os
+    import tempfile
+
+    from knowledgegraphs_spark.operators.entailment import (
+        materialize_store,
+        materialize_store_delta,
+    )
+    from knowledgegraphs_spark.operators.triples import read_triples, write_triples
+
+    nation = _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string")).alias("subj"),
+        F.lit("kg:partOf").alias("pred"),
+        F.concat(F.lit("kg:Region_"), F.col("n_regionkey").cast("string")).alias("obj"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("kg:Supplier_"), F.col("s_suppkey").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("kg:Supplier").alias("obj"),
+    )
+    orders = _t(spark, sf_dir, "orders")
+    ref_canon = orders.select(
+        F.concat(F.lit("kg:Order_"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("kg:custRef").alias("pred"),
+        F.concat(F.lit("kg:Customer_"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    base = nation.unionByName(supp).unionByName(ref_canon).unionByName(
+        spark.createDataFrame(_G23_TBOX, "subj string, pred string, obj string")
+    )
+
+    cust_part = _t(spark, sf_dir, "customer").select(
+        F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string")).alias("subj"),
+        F.lit("kg:partOf").alias("pred"),
+        F.concat(F.lit("kg:Nation_"), F.col("c_nationkey").cast("string")).alias("obj"),
+    )
+    ref_alias = orders.select(
+        F.concat(F.lit("kg:Order_"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("kg:custRef").alias("pred"),
+        F.concat(F.lit("u:"), (F.col("o_custkey") * 2).cast("string")).alias("obj"),
+    )
+    delta = cust_part.unionByName(ref_alias)
+
+    tmp = tempfile.mkdtemp(prefix="kg_g23_")
+    path = os.path.join(tmp, "store")
+    write_triples(base, path, n_buckets=8)
+    materialize_store(spark, path, ruleset="owl-rl")
+    materialize_store_delta(spark, path, delta, ruleset="owl-rl")
+    return read_triples(spark, path).select("subj", "pred", "obj")
+
+
+_G23_SQL = """
+WITH nat AS (
+  SELECT 'kg:Nation_' || n_nationkey AS n, 'kg:Region_' || n_regionkey AS r
+  FROM nation
+), cust AS (
+  SELECT 'kg:Customer_' || c_custkey AS c, 'kg:Nation_' || c_nationkey AS n
+  FROM customer
+), supp AS (
+  SELECT 'kg:Supplier_' || s_suppkey AS s FROM supplier
+), ords AS (
+  SELECT 'kg:Order_' || o_orderkey AS o, o_custkey AS ck FROM orders
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  -- asserted: base + delta
+  SELECT n AS subj, 'kg:partOf' AS pred, r AS obj FROM nat
+  UNION ALL SELECT s, 'rdf:type', 'kg:Supplier' FROM supp
+  UNION ALL SELECT o, 'kg:custRef', 'kg:Customer_' || ck FROM ords
+  UNION ALL SELECT c, 'kg:partOf', n FROM cust
+  UNION ALL SELECT o, 'kg:custRef', 'u:' || (ck * 2) FROM ords
+  UNION ALL SELECT 'kg:partOf', 'rdf:type', 'owl:TransitiveProperty'
+  UNION ALL SELECT 'kg:custRef', 'rdf:type', 'owl:FunctionalProperty'
+  UNION ALL SELECT 'kg:Supplier', 'rdfs:subClassOf', 'kg:Agent'
+  -- cax-sco from the initial close
+  UNION ALL SELECT s, 'rdf:type', 'kg:Agent' FROM supp
+  -- prp-trp across the old/new boundary: delta customer->nation edges
+  -- close through the store's nation->region edges
+  UNION ALL SELECT c.c, 'kg:partOf', n.r FROM cust c JOIN nat n ON c.n = n.n
+  -- prp-fp across the boundary: the delta alias identifies against the
+  -- old canonical ref ('kg:...' < 'u:...')
+  UNION ALL SELECT DISTINCT 'u:' || (ck * 2), 'owl:sameAs', 'kg:Customer_' || ck FROM ords
+) t
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
 
@@ -3276,6 +3382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_rdfs_entailment": q_rdfs_entailment,
         "g21_sameas_smush": q_sameas_smush,
         "g22_owl_rl_entailment": q_owl_rl_entailment,
+        "g23_delta_entailment": q_delta_entailment,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -3363,6 +3470,7 @@ def oracle_sql() -> dict[str, str]:
         "g20_rdfs_entailment": _G20_SQL,
         "g21_sameas_smush": _G21_SQL,
         "g22_owl_rl_entailment": _G22_SQL,
+        "g23_delta_entailment": _G23_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
