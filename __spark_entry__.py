@@ -2618,6 +2618,128 @@ SELECT DISTINCT subj, pred, obj FROM (
 
 
 # ---------------------------------------------------------------------------
+# G24: temporal KG — point-in-time snapshot over timestamped assertions
+# ---------------------------------------------------------------------------
+
+_G24_AT = "2024-01-15 12:00:00"
+
+
+def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G24 (engine extension): temporal-KG point-in-time snapshot. The
+    events stream becomes timestamped assertions (user entity, per-type
+    ``kg:last_<event_type>`` predicate, the event value) and
+    ``asof_snapshot`` reconstructs the graph state at a cutoff:
+    latest-assertion-wins per (subj, pred), deterministic ties via
+    event_id. One window shuffle on the entity x predicate key; the
+    cutoff filter is pushed to the parquet scan (min/max pruned)."""
+    from knowledgegraphs_spark.operators.temporal import asof_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    assertions = ev.select(
+        F.concat(F.lit("kg:User_"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("kg:last_"), F.col("event_type")).alias("pred"),
+        F.col("value").alias("obj_val"),
+        F.col("ts").alias("asserted_ts"),
+        "event_id",
+    )
+    snap = asof_snapshot(assertions, _G24_AT, tie_break="event_id")
+    return snap.select("subj", "pred", "obj_val", "asserted_ts")
+
+
+_G24_SQL = f"""
+WITH t AS (
+  SELECT 'kg:User_' || cast(user_id AS varchar) AS subj,
+         'kg:last_' || event_type AS pred,
+         value AS obj_val, ts AS asserted_ts, event_id
+  FROM events WHERE ts <= TIMESTAMP '{_G24_AT}'
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY subj, pred ORDER BY asserted_ts DESC, event_id DESC) AS rn
+  FROM t
+)
+SELECT subj, pred, obj_val, asserted_ts FROM r WHERE rn = 1
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# G25: SHACL-lite validation — shape conformance report over the KG
+# ---------------------------------------------------------------------------
+
+
+def q_shacl_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G25 (engine extension): SHACL-core subset validation. The KG is
+    customers typed kg:Customer with kg:placedOrder / kg:finalizedOrder
+    edges and a kg:acctBal literal; kg:FinalizedOrder type assertions
+    exist only for F-status orders with totalprice >= 100000, so the
+    sh:class check finds genuine dangling refs. Four shapes: order-count
+    bounds (MinCount negative control + MaxCount), finalized-order
+    MinCount, non-negative balance Range, and the Class referential
+    check. Every component is a count-groupBy, filter, or hash
+    anti-join — no iteration, no UDFs."""
+    from knowledgegraphs_spark.operators.shacl import Shape, validate
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cust_uri = F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string"))
+    ocust_uri = F.concat(F.lit("kg:Customer_"), F.col("o_custkey").cast("string"))
+    order_uri = F.concat(F.lit("kg:Order_"), F.col("o_orderkey").cast("string"))
+    triples = (
+        cust.select(cust_uri.alias("subj"), F.lit("rdf:type").alias("pred"), F.lit("kg:Customer").alias("obj"))
+        .unionByName(cust.select(cust_uri.alias("subj"), F.lit("kg:acctBal").alias("pred"), F.col("c_acctbal").cast("string").alias("obj")))
+        .unionByName(orders.select(ocust_uri.alias("subj"), F.lit("kg:placedOrder").alias("pred"), order_uri.alias("obj")))
+        .unionByName(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                ocust_uri.alias("subj"), F.lit("kg:finalizedOrder").alias("pred"), order_uri.alias("obj")
+            )
+        )
+        .unionByName(
+            orders.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") >= 100000)).select(
+                order_uri.alias("subj"), F.lit("rdf:type").alias("pred"), F.lit("kg:FinalizedOrder").alias("obj")
+            )
+        )
+    )
+    shapes = [
+        Shape("sh_cust_orders", "kg:Customer", "kg:placedOrder", min_count=1, max_count=20),
+        Shape("sh_cust_finalized", "kg:Customer", "kg:finalizedOrder", min_count=1),
+        Shape("sh_cust_bal", "kg:Customer", "kg:acctBal", min_inclusive=0.0),
+        Shape("sh_order_ref", "kg:Customer", "kg:finalizedOrder", class_constraint="kg:FinalizedOrder"),
+    ]
+    return validate(triples, shapes)
+
+
+_G25_SQL = """
+WITH custs AS (
+  SELECT 'kg:Customer_' || cast(c_custkey AS varchar) AS focus_node, c_acctbal
+  FROM customer
+), ord AS (
+  SELECT 'kg:Customer_' || cast(o_custkey AS varchar) AS focus_node,
+         'kg:Order_' || cast(o_orderkey AS varchar) AS obj,
+         o_orderstatus, o_totalprice
+  FROM orders
+), counts_all AS (
+  SELECT focus_node, count(*) AS n FROM ord GROUP BY focus_node
+), counts_fin AS (
+  SELECT focus_node, count(*) AS n FROM ord WHERE o_orderstatus = 'F' GROUP BY focus_node
+)
+SELECT focus_node, 'sh_cust_orders' AS shape_id, 'MinCount' AS component,
+       cast(coalesce(a.n, 0) AS varchar) AS detail
+FROM custs LEFT JOIN counts_all a USING (focus_node) WHERE coalesce(a.n, 0) < 1
+UNION ALL
+SELECT focus_node, 'sh_cust_orders', 'MaxCount', cast(a.n AS varchar)
+FROM custs JOIN counts_all a USING (focus_node) WHERE a.n > 20
+UNION ALL
+SELECT focus_node, 'sh_cust_finalized', 'MinCount', cast(coalesce(f.n, 0) AS varchar)
+FROM custs LEFT JOIN counts_fin f USING (focus_node) WHERE coalesce(f.n, 0) < 1
+UNION ALL
+SELECT focus_node, 'sh_cust_bal', 'Range', cast(c_acctbal AS varchar)
+FROM custs WHERE c_acctbal < 0
+UNION ALL
+SELECT focus_node, 'sh_order_ref', 'Class', obj
+FROM ord WHERE o_orderstatus = 'F' AND o_totalprice < 100000
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # W5 + F3 + F7: mapping selection over derived candidates (documents table)
 # ---------------------------------------------------------------------------
 
@@ -3383,6 +3505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g21_sameas_smush": q_sameas_smush,
         "g22_owl_rl_entailment": q_owl_rl_entailment,
         "g23_delta_entailment": q_delta_entailment,
+        "g24_kg_asof": q_kg_asof,
+        "g25_shacl_validation": q_shacl_validation,
         "w8_entity_catalog": q_entity_catalog,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -3471,6 +3595,8 @@ def oracle_sql() -> dict[str, str]:
         "g21_sameas_smush": _G21_SQL,
         "g22_owl_rl_entailment": _G22_SQL,
         "g23_delta_entailment": _G23_SQL,
+        "g24_kg_asof": _G24_SQL,
+        "g25_shacl_validation": _G25_SQL,
         "w8_entity_catalog": _w8_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
