@@ -84,12 +84,13 @@ def asof_join(
     facts: DataFrame,
     snapshot_times: DataFrame,
     ts_col: str = "asserted_ts",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """Many-timestamp as-of: for every row in ``snapshot_times``
     (columns ``snap_id``, ``at``) the graph state at that time — the
     interval form joined on containment, so N snapshots cost one range
     join over the interval table instead of N window passes."""
-    iv = validity_intervals(facts, ts_col=ts_col)
+    iv = validity_intervals(facts, ts_col=ts_col, tie_break=tie_break)
     cond = (F.col("at") >= F.col("valid_from")) & (
         F.col("valid_to").isNull() | (F.col("at") < F.col("valid_to"))
     )
