@@ -3411,6 +3411,130 @@ FROM c
 
 
 # ---------------------------------------------------------------------------
+# t4/t5/t6: corpus curation — quality filter, stratified sample, decontam
+# ---------------------------------------------------------------------------
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 (engine extension): C4/Gopher-style rule filter — every rule a
+    named flag, one keep verdict, first-failing reject_reason. Single
+    codegen'd projection (operators/training_filters.py)."""
+    from knowledgegraphs_spark.operators.training_filters import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_filter(docs.select("doc_id", "text")).select(
+        "doc_id", "r_len", "r_word_len", "r_symbol", "r_stopword", "r_repetition",
+        "keep", "reject_reason",
+    )
+
+
+_T4_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_RAW_TOKS_SQL} AS rtoks,
+         {_TOKS_SQL} AS ntoks,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text,'[^\\w\\s]','','g')) AS DOUBLE)/length(text)
+              ELSE 0.0 END AS pr
+  FROM documents
+), m AS (
+  SELECT doc_id, pr, len(rtoks) AS n_tok,
+    CASE WHEN len(rtoks) > 0
+         THEN CAST(list_sum(list_transform(rtoks, x -> length(x))) AS DOUBLE)/len(rtoks)
+         ELSE 0.0 END AS mean_wl,
+    len(list_filter(list_transform(rtoks, x -> lower(x)),
+        x -> list_contains(['the','a','and','of','to','in','is','it','for','on'], x))) AS n_stop,
+    list_transform(generate_series(1, greatest(len(ntoks)-1,0)), i -> ntoks[i]||' '||ntoks[i+1]) AS bigrams
+  FROM base
+), r AS (
+  SELECT doc_id,
+    (n_tok >= 5 AND n_tok <= 100000) AS r_len,
+    (mean_wl >= 2.0 AND mean_wl <= 12.0) AS r_word_len,
+    (pr <= 0.3) AS r_symbol,
+    (n_stop >= 2) AS r_stopword,
+    (CASE WHEN len(bigrams) > 0
+          THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)/len(bigrams)
+          ELSE 0.0 END <= 0.6) AS r_repetition
+  FROM m
+)
+SELECT doc_id, r_len, r_word_len, r_symbol, r_stopword, r_repetition,
+  (r_len AND r_word_len AND r_symbol AND r_stopword AND r_repetition) AS keep,
+  CASE WHEN NOT r_len THEN 'len' WHEN NOT r_word_len THEN 'word_len'
+       WHEN NOT r_symbol THEN 'symbol' WHEN NOT r_stopword THEN 'stopword'
+       WHEN NOT r_repetition THEN 'repetition' ELSE NULL END AS reject_reason
+FROM r
+""".strip()
+
+
+#: t5 quotas — deliberately uneven, with one over-count stratum (src3:
+#: quota 40 > 25 docs at sf0.01 → all rows, threshold saturates) and most
+#: strata absent (exercises the stratum prune)
+_T5_QUOTAS = {"src0": 7, "src1": 12, "src2": 25, "src3": 40, "src5": 3}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (engine extension): exact per-stratum quota sample by md5 order
+    key — the distributed path is a count-based hash-threshold prune +
+    rank window over the remnant; the oracle IS the naive full window,
+    so the comparison proves prune+rank == textbook stratified top-k."""
+    from knowledgegraphs_spark.operators.training_filters import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs.select("doc_id", "source"), quotas=_T5_QUOTAS, stratum_col="source", id_col="doc_id"
+    )
+
+
+_T5_SQL = """
+WITH k AS (
+  SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS u
+  FROM documents WHERE source IN ('src0','src1','src2','src3','src5')
+), r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id) AS INT) AS sample_rank
+  FROM k
+)
+SELECT doc_id AS id, source AS stratum, sample_rank FROM r
+WHERE sample_rank <= CASE source WHEN 'src0' THEN 7 WHEN 'src1' THEN 12
+                     WHEN 'src2' THEN 25 WHEN 'src3' THEN 40 WHEN 'src5' THEN 3 END
+""".strip()
+
+
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (engine extension): benchmark-decontamination sweep — docs with
+    doc_id % 23 == 0 play the held-out benchmark, the rest the training
+    corpus; flag any train doc sharing a distinct 5-gram shingle.
+    Benchmark fingerprints broadcast; only per-doc counts shuffle."""
+    from knowledgegraphs_spark.operators.training_filters import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 23 == 0)
+    train = docs.filter(F.col("doc_id") % 23 != 0)
+    return decontaminate(train, bench, n=5, min_overlap=1)
+
+
+_T6_SQL = f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(toks)-4,0)),
+           i -> toks[i]||' '||toks[i+1]||' '||toks[i+2]||' '||toks[i+3]||' '||toks[i+4])) AS shs
+  FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents)
+), bench AS (
+  SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id % 23 = 0
+), tr AS (
+  SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id % 23 <> 0
+), hits AS (
+  SELECT tr.doc_id, count(*) AS n_overlap FROM tr JOIN bench USING (s) GROUP BY tr.doc_id
+)
+SELECT d.doc_id AS id,
+       COALESCE(h.n_overlap, 0) AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+WHERE d.doc_id % 23 <> 0
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # d5: exact embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
@@ -3515,6 +3639,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t1_text_profile": q_text_profile,
         "t2_token_stats": q_token_stats,
         "t3_sequence_packing": q_sequence_packing,
+        "t4_quality_filter": q_quality_filter,
+        "t5_stratified_sample": q_stratified_sample,
+        "t6_decontamination": q_decontamination,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3605,6 +3732,9 @@ def oracle_sql() -> dict[str, str]:
         "t1_text_profile": _TEXT_PROFILE_SQL,
         "t2_token_stats": _T2_SQL,
         "t3_sequence_packing": _T3_SQL,
+        "t4_quality_filter": _T4_SQL,
+        "t5_stratified_sample": _T5_SQL,
+        "t6_decontamination": _T6_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
