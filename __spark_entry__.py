@@ -353,6 +353,113 @@ SELECT node, round(rank, 6) AS rank FROM {prev}
 """.strip()
 
 
+def _comention_edges(spark: SparkSession, sf_dir: str):
+    """Entity co-mention edges of the FULL build (two entities linked iff
+    some conversation mentions both) — the unipartite projection g26/g27
+    run graph analytics over. Entities-per-conversation is small and
+    bounded (unlike conversations-per-entity — see the g9 docstring), so
+    the per-conversation pair join is linear in conversations."""
+    from knowledgegraphs_spark.operators.bgp import match_bgp
+
+    triples = q_kg_triples_full(spark, sf_dir).localCheckpoint(eager=True)
+    ce = (
+        match_bgp(
+            triples,
+            [
+                ("?t", "has_mention", "?m"),
+                ("?m", "p_Mention_Entity", "?e"),
+                ("?t", "p_Turn_Conversation", "?c"),
+            ],
+        )
+        .select("e", "c")
+        .distinct()
+        .localCheckpoint(eager=True)  # both sides of the pair join below
+    )
+    return (
+        ce.alias("a")
+        .join(ce.alias("b"), (F.col("a.c") == F.col("b.c")) & (F.col("a.e") < F.col("b.e")))
+        .select(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
+        .distinct()
+    )
+
+
+_COMENTION_EDGE_CTES = """, ce AS (
+  SELECT DISTINCT 'kg:Entity_' || ename AS e, conv_id AS c FROM mrows
+), em AS (
+  SELECT DISTINCT a.e AS u, b.e AS v FROM ce a JOIN ce b ON a.c = b.c AND a.e < b.e
+)"""
+
+
+def q_entity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G26 (engine extension): per-entity triangle counts over the
+    co-mention graph of the FULL build — the local clustering signal
+    (which entities sit in tightly-knit mention clusters vs on bridges).
+    The operator orients edges by (degree, node) so the wedge join fans
+    out from low-degree endpoints only (compact-forward — the O(α·m)
+    bound a power-law KG needs); the oracle counts the same triangles
+    with name-ordered joins in DuckDB — triangle counts are orientation-
+    invariant, so a value mismatch means a real bug, not a strategy
+    difference."""
+    from knowledgegraphs_spark.operators.graph_analytics import triangle_count
+
+    return triangle_count(_comention_edges(spark, sf_dir)).select(
+        "node", F.col("triangles").cast("long").alias("triangles")
+    )
+
+
+_G26_SQL_TAIL = """, nodes AS (
+  SELECT DISTINCT u AS node FROM em UNION SELECT DISTINCT v FROM em
+), tris AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM em e1 JOIN em e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN em e3 ON e3.u = e1.v AND e3.v = e2.v
+), pn AS (
+  SELECT node, count(*) AS triangles
+  FROM (SELECT unnest([a, b, c]) AS node FROM tris) GROUP BY node
+)
+SELECT n.node, cast(coalesce(p.triangles, 0) AS bigint) AS triangles
+FROM nodes n LEFT JOIN pn p USING (node)"""
+
+
+def q_entity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G27 (engine extension): label-propagation communities over the
+    co-mention graph — deterministic synchronous LPA (neighbor-majority
+    vote, self excluded, min-label tie-break), 4 fixed iterations so the
+    unrolled relational twin is exact (the g12 contract). The vote is a
+    map-side-combinable min_by aggregate, never a window over a hub's
+    neighbor list."""
+    from knowledgegraphs_spark.operators.graph_analytics import label_propagation
+
+    return label_propagation(_comention_edges(spark, sf_dir), iters=4)
+
+
+def _lpa_sql(iters: int = 4) -> str:
+    prev, steps = "l0", []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""w{i} AS (
+  SELECT node, lbl FROM (
+    SELECT e.dst AS node, p.lbl AS lbl,
+           row_number() OVER (PARTITION BY e.dst ORDER BY count(*) DESC, p.lbl) AS rn
+    FROM edges e JOIN {prev} p ON e.src = p.node
+    GROUP BY e.dst, p.lbl
+  ) WHERE rn = 1
+), l{i} AS (
+  SELECT p.node, coalesce(w.lbl, p.lbl) AS lbl FROM {prev} p LEFT JOIN w{i} w USING (node)
+)"""
+        )
+        prev = f"l{i}"
+    chain = ", ".join(steps)
+    return f"""
+{_kg_full_ctes().strip()}{_COMENTION_EDGE_CTES}, edges AS (
+  SELECT u AS src, v AS dst FROM em UNION ALL SELECT v AS src, u AS dst FROM em
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+l0 AS (SELECT node, node AS lbl FROM nodes),
+{chain}
+SELECT node, lbl AS label FROM {prev}
+""".strip()
+
+
 def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S13 + Turtle SOURCE through the oracle gate: serialize a
     nation-derived triple set with the distributed Turtle sink
@@ -3618,6 +3725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g11_sparql_aggregate": q_sparql_aggregate,
         "s12_turtle_roundtrip": q_turtle_roundtrip,
         "g12_entity_pagerank": q_entity_pagerank,
+        "g26_entity_triangles": q_entity_triangles,
+        "g27_entity_communities": q_entity_communities,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
         "g15_sparql_construct": q_sparql_construct,
@@ -3711,6 +3820,8 @@ def oracle_sql() -> dict[str, str]:
         "g11_sparql_aggregate": _G11_SQL,
         "s12_turtle_roundtrip": _S12_SQL,
         "g12_entity_pagerank": _pagerank_sql(),
+        "g26_entity_triangles": _kg_full_ctes().strip() + _COMENTION_EDGE_CTES + _G26_SQL_TAIL,
+        "g27_entity_communities": _lpa_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,
         "g15_sparql_construct": _G15_SQL,

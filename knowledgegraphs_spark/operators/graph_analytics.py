@@ -1,4 +1,5 @@
-"""Iterative graph analytics over the KG — PageRank on the entity graph.
+"""Iterative graph analytics over the KG — PageRank, triangle counting,
+and label-propagation communities on the entity graph.
 
 The reference stops at emitting the KG; ranking what the graph contains
 is the downstream need a large-scale training-data pipeline hits first
@@ -6,7 +7,9 @@ is the downstream need a large-scale training-data pipeline hits first
 weighting/selection signal for sampling and dedup decisions). This is
 the second iterative-graph operator next to connected components
 (``canonicalize.py``): CC is the alternating-frontier pattern, PageRank
-is the power-iteration pattern.
+is the power-iteration pattern, triangle counting is the join-closure
+pattern, and label propagation is the neighborhood-vote pattern — the
+four shapes every distributed graph workload decomposes into.
 
 Semantics (deliberately the textbook fixed-iteration form, so an exact
 relational twin exists): ``iters`` rounds of
@@ -72,6 +75,164 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over ``edges(src, dst)`` read as an
+    UNDIRECTED simple graph (direction, duplicates, and self-loops are
+    normalized away). Returns ``(node, triangles)`` for every node of the
+    graph; the global triangle count is ``sum(triangles) / 3``.
+
+    Scale shape — degree orientation (the compact-forward / node-iterator
+    algorithm): each undirected edge is directed from its lower-(degree,
+    node) endpoint to the higher, so the wedge-building self-join fans out
+    from the LOW-degree side only. The candidate-wedge count is then
+    bounded by ``Σ_e min(deg(u), deg(v)) ≤ O(α·m)`` (α = arboricity)
+    instead of ``Σ_v deg(v)²`` — on a power-law KG the difference is the
+    difference between a runnable job and a hub node emitting 10¹⁰
+    wedges. Every triangle is produced exactly once (its rank-minimal
+    vertex is the apex), so no post-hoc division; the closing check is an
+    equi-join on the oriented (b, c) edge pair, and the final per-node
+    count is a map-side-combinable ``explode → groupBy``. Three shuffles
+    total (wedge join, closing join, count) — all on node/edge keys,
+    never on anything wider.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient: a = lower (deg, node) endpoint, b = higher; carry b's degree
+    # so wedge legs order by the SAME total order the closing edge uses
+    wd = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+    )
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    eo = wd.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("db"),
+    ).localCheckpoint(eager=True)  # scanned three times below; never rebuild
+    e1, e2 = eo.alias("e1"), eo.alias("e2")
+    e3 = eo.select(F.col("a").alias("ea"), F.col("b").alias("eb"))
+    lo_leg = (F.col("e1.db") < F.col("e2.db")) | (
+        (F.col("e1.db") == F.col("e2.db")) & (F.col("e1.b") < F.col("e2.b"))
+    )
+    tris = (
+        e1.join(e2, (F.col("e1.a") == F.col("e2.a")) & lo_leg)
+        .select(F.col("e1.a").alias("a"), F.col("e1.b").alias("b"), F.col("e2.b").alias("c"))
+        .join(e3, (F.col("b") == F.col("ea")) & (F.col("c") == F.col("eb")), "left_semi")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return nodes.join(per_node, "node", "left").select(
+        "node", F.coalesce("triangles", F.lit(0)).alias("triangles")
+    )
+
+
+def triangle_count_py(edges: list[tuple[str, str]]) -> dict[str, int]:
+    """Pure-Python twin for tests — same undirected-simple-graph
+    normalization, naive neighborhood intersection."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    # each triangle at v is an edge (w, x) between two of v's neighbors;
+    # |adj[v] ∩ adj[w]| over all neighbors w counts each such edge twice
+    return {v: sum(len(nbrs & adj[w]) for w in nbrs) // 2 for v, nbrs in adj.items()}
+
+
+def label_propagation(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Deterministic synchronous label propagation over ``edges(src,
+    dst)`` read as an undirected simple graph: every node starts labeled
+    with itself; each round, a node adopts the label most frequent among
+    its NEIGHBORS (its own label does not vote), ties broken by the
+    smallest label; isolated rounds keep the old label. Fixed ``iters``
+    (deterministic ⇒ an exact unrolled relational twin exists, the same
+    contract as :func:`pagerank`). Returns ``(node, label)``.
+
+    Scale shape: per round, ONE join of the (undirected, checkpointed)
+    edge relation against the label vector on ``src`` + ONE
+    ``groupBy(dst, label)`` count (map-side combinable) + ONE per-node
+    arg-min — ``min_by`` over ``(-count, label)`` packed as a struct, so
+    the vote is a second map-side-combinable aggregate, NOT a window over
+    neighbor lists (a hub node's vote never materializes its
+    neighborhood in one task). Shuffles are label-vector-sized.
+    ``localCheckpoint`` per round caps plan growth.
+
+    The textbook caveat is preserved, not hidden: synchronous LPA can
+    oscillate on bipartite structures — fixed iterations make the result
+    well-defined anyway; callers wanting stable communities run on a
+    co-occurrence (unipartite) projection, as the contract query does.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).localCheckpoint(eager=True)
+    nodes = both.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        votes = (
+            both.join(labels, both["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("node")
+            .agg(
+                F.min_by(
+                    "label", F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("new_label")
+            )
+        )
+        labels = (
+            labels.join(votes, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels
+
+
+def label_propagation_py(edges: list[tuple[str, str]], iters: int = 5) -> dict[str, str]:
+    """Pure-Python twin — same synchronous, self-excluded, min-tie-break
+    semantics."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    labels = {v: v for v in adj}
+    for _ in range(iters):
+        nxt = {}
+        for v in adj:
+            counts: dict[str, int] = {}
+            for w in adj[v]:
+                counts[labels[w]] = counts.get(labels[w], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l)) if counts else labels[v]
+        labels = nxt
+    return labels
 
 
 def pagerank_py(

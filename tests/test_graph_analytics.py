@@ -1,13 +1,21 @@
-"""PageRank (operators/graph_analytics.py): the distributed power
-iteration must equal the pure-Python twin exactly (same fixed-iteration
-semantics), and both must show the textbook behaviors — hub accumulation,
-rank conservation on dangling-free graphs, damping sensitivity."""
+"""Graph analytics (operators/graph_analytics.py): each distributed
+algorithm must equal its pure-Python twin exactly (same fixed-iteration /
+normalization semantics), and show the textbook behaviors — PageRank hub
+accumulation and mass conservation, triangle closure counts, label
+propagation community collapse."""
 
 import random
 
 import pytest
 
-from knowledgegraphs_spark.operators.graph_analytics import pagerank, pagerank_py
+from knowledgegraphs_spark.operators.graph_analytics import (
+    label_propagation,
+    label_propagation_py,
+    pagerank,
+    pagerank_py,
+    triangle_count,
+    triangle_count_py,
+)
 
 
 def _df(spark, edges):
@@ -59,3 +67,75 @@ def test_symmetric_bipartite_is_stochastic(spark):
     got = {r.node: r.rank for r in pagerank(_df(spark, edges), iters=12).collect()}
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     assert got["e1"] > got["e2"]  # e1 is mentioned by two conversations
+
+
+# -- triangle counting -------------------------------------------------------
+
+
+def test_triangles_distributed_equals_python_twin(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(14)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)})
+    got = {r.node: r.triangles for r in triangle_count(_df(spark, edges)).collect()}
+    want = triangle_count_py(edges)
+    assert got == want
+
+
+def test_triangles_k4_and_direction_duplicate_selfloop_invariance(spark):
+    # K4: every node sits on C(3,2) = 3 triangles; add noise that the
+    # undirected-simple normalization must erase
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + [("a", "a"), ("b", "c"), ("b", "c")]
+    got = {r.node: r.triangles for r in triangle_count(_df(spark, noisy)).collect()}
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_path_graph_has_none_and_all_nodes_reported(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "d")]
+    got = {r.node: r.triangles for r in triangle_count(_df(spark, edges)).collect()}
+    assert got == {"a": 0, "b": 0, "c": 0, "d": 0}
+
+
+def test_triangles_hub_star_plus_rim(spark):
+    # wheel: hub h + cycle r0..r4 — hub on 5 triangles, each rim node on 2
+    rim = [f"r{i}" for i in range(5)]
+    edges = [("h", r) for r in rim] + [(rim[i], rim[(i + 1) % 5]) for i in range(5)]
+    got = {r.node: r.triangles for r in triangle_count(_df(spark, edges)).collect()}
+    assert got["h"] == 5
+    assert all(got[r] == 2 for r in rim)
+    assert got == triangle_count_py(edges)
+
+
+# -- label propagation -------------------------------------------------------
+
+
+def test_lpa_distributed_equals_python_twin(spark):
+    rng = random.Random(3)
+    nodes = [f"n{i}" for i in range(16)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(48)})
+    edges = [(s, d) for s, d in edges if s != d]
+    for iters in (1, 4):
+        got = {r.node: r.label for r in label_propagation(_df(spark, edges), iters).collect()}
+        assert got == label_propagation_py(edges, iters)
+
+
+def test_lpa_two_cliques_with_bridge_separate(spark):
+    a = [f"a{i}" for i in range(4)]
+    b = [f"b{i}" for i in range(4)]
+    clique = lambda ns: [(x, y) for x in ns for y in ns if x < y]  # noqa: E731
+    edges = clique(a) + clique(b) + [("a0", "b0")]
+    got = {r.node: r.label for r in label_propagation(_df(spark, edges), iters=5).collect()}
+    assert len({got[x] for x in a}) == 1
+    assert len({got[x] for x in b}) == 1
+    assert got["a1"] != got["b1"]  # the bridge must not merge the cliques
+    assert got == label_propagation_py(edges, 5)
+
+
+def test_lpa_tie_breaks_to_smallest_label_and_self_does_not_vote(spark):
+    # v's two neighbors carry distinct labels after round 1 → round 2 tie
+    # at v must pick the smaller; v's own label never votes
+    edges = [("m", "v"), ("v", "z")]
+    got1 = {r.node: r.label for r in label_propagation(_df(spark, edges), iters=1).collect()}
+    # round 1: v sees {m, z} → tie → 'm'; m sees {v} → 'v'; z sees {v} → 'v'
+    assert got1 == {"m": "v", "v": "m", "z": "v"}
+    assert got1 == label_propagation_py(edges, 1)
