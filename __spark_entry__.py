@@ -3642,6 +3642,106 @@ WHERE d.doc_id % 23 <> 0
 
 
 # ---------------------------------------------------------------------------
+# t7: PII detection + redaction
+# ---------------------------------------------------------------------------
+
+# deterministic PII-bearing text, derived identically on both engines:
+# custkey % 3 == 0 → email + phone + dotted-quad; % 3 == 1 → card + ssn;
+# else clean text (has_pii must vary). Integer-only arithmetic + lpad so
+# both engines produce byte-identical strings (no float formatting).
+_T7_TEXT_SQL = """CASE
+  WHEN c_custkey % 3 = 0 THEN
+    'Reach ' || c_name || ' <user' || cast(c_custkey AS varchar)
+    || '@example.com> phone 555-' || lpad(cast(c_custkey % 1000 AS varchar), 3, '0')
+    || '-' || lpad(cast((c_custkey * 7) % 10000 AS varchar), 4, '0')
+    || ' from 10.0.' || cast(c_custkey % 256 AS varchar) || '.7'
+  WHEN c_custkey % 3 = 1 THEN
+    'card 4321-' || lpad(cast((c_custkey * 3) % 10000 AS varchar), 4, '0')
+    || '-' || lpad(cast((c_custkey * 5) % 10000 AS varchar), 4, '0')
+    || '-' || lpad(cast(c_custkey % 10000 AS varchar), 4, '0')
+    || ' ssn ' || lpad(cast(c_custkey % 900 + 100 AS varchar), 3, '0')
+    || '-' || lpad(cast(c_custkey % 100 AS varchar), 2, '0')
+    || '-' || lpad(cast((c_custkey * 11) % 10000 AS varchar), 4, '0')
+  ELSE 'segment ' || c_mktsegment || ' nation ' || cast(c_nationkey AS varchar)
+END"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (engine extension): value-level PII detection + redaction
+    (operators/redaction.py) — the scan-speed complement of the schema-
+    level j9 DO→DPV flags. Sequential pattern classes (email, card, ssn,
+    phone, ipv4) with counts measured on the progressively-redacted text
+    so Σcounts == replacements; one shuffle-free codegen'd projection.
+    The oracle runs the IDENTICAL pattern text through DuckDB's RE2 —
+    the check is engine-portability of the patterns, not just values."""
+    from knowledgegraphs_spark.operators.redaction import scrub
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    pad = lambda c, n: F.lpad(c.cast("string"), n, "0")  # noqa: E731
+    text = (
+        F.when(
+            ck % 3 == 0,
+            F.concat(
+                F.lit("Reach "), F.col("c_name"), F.lit(" <user"), ck.cast("string"),
+                F.lit("@example.com> phone 555-"), pad(ck % 1000, 3),
+                F.lit("-"), pad((ck * 7) % 10000, 4),
+                F.lit(" from 10.0."), (ck % 256).cast("string"), F.lit(".7"),
+            ),
+        )
+        .when(
+            ck % 3 == 1,
+            F.concat(
+                F.lit("card 4321-"), pad((ck * 3) % 10000, 4),
+                F.lit("-"), pad((ck * 5) % 10000, 4),
+                F.lit("-"), pad(ck % 10000, 4),
+                F.lit(" ssn "), pad(ck % 900 + 100, 3),
+                F.lit("-"), pad(ck % 100, 2),
+                F.lit("-"), pad((ck * 11) % 10000, 4),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("segment "), F.col("c_mktsegment"),
+                F.lit(" nation "), F.col("c_nationkey").cast("string"),
+            )
+        )
+    )
+    docs = cust.select(F.col("c_custkey").alias("doc_id"), text.alias("text"))
+    return scrub(docs).select(
+        "doc_id", "n_email", "n_card", "n_ssn", "n_phone", "n_ipv4",
+        "pii_total", "has_pii", "text_redacted",
+    )
+
+
+def _t7_sql() -> str:
+    from knowledgegraphs_spark.operators.redaction import PII_PATTERNS
+
+    ctes = [
+        f"docs AS (SELECT c_custkey AS doc_id, {_T7_TEXT_SQL} AS text FROM customer)",
+        "s0 AS (SELECT doc_id, text, coalesce(text, '') AS t0 FROM docs)",
+    ]
+    kinds = []
+    for i, (kind, pat, repl) in enumerate(PII_PATTERNS, start=1):
+        kinds.append(kind)
+        ctes.append(
+            f"s{i} AS (SELECT *, "
+            f"cast(length(regexp_extract_all(t{i - 1}, '{pat}')) AS int) AS n_{kind}, "
+            f"regexp_replace(t{i - 1}, '{pat}', '{repl}', 'g') AS t{i} FROM s{i - 1})"
+        )
+    total = " + ".join(f"n_{k}" for k in kinds)
+    n_cols = ", ".join(f"n_{k}" for k in kinds)
+    last = len(PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT doc_id, {n_cols}, cast({total} AS int) AS pii_total,
+       ({total}) > 0 AS has_pii,
+       CASE WHEN text IS NULL THEN NULL ELSE t{last} END AS text_redacted
+FROM s{last}"""
+    ).strip()
+
+
+# ---------------------------------------------------------------------------
 # d5: exact embedding-cosine near-duplicate pairs
 # ---------------------------------------------------------------------------
 
@@ -3751,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_quality_filter": q_quality_filter,
         "t5_stratified_sample": q_stratified_sample,
         "t6_decontamination": q_decontamination,
+        "t7_pii_scrub": q_pii_scrub,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3846,6 +3947,7 @@ def oracle_sql() -> dict[str, str]:
         "t4_quality_filter": _T4_SQL,
         "t5_stratified_sample": _T5_SQL,
         "t6_decontamination": _T6_SQL,
+        "t7_pii_scrub": _t7_sql(),
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
