@@ -509,6 +509,59 @@ FROM nation
 """.strip()
 
 
+def q_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 (N-Triples sink + source through the oracle gate): serialize a
+    nation-derived triple set as absolute-IRI N-Triples (the
+    line-splittable bulk-interchange format — one statement per line, so
+    a single multi-TB dump splits by maxPartitionBytes instead of by
+    file), parse it back with the pure-Catalyst NT source, return the
+    round-tripped rows. Deliberately exercises what the Turtle path
+    cannot: lang-tagged literals, bare vocabulary names, and literal
+    bodies with quotes, backslashes, and a real newline — if escaping,
+    IRI expansion/compaction, or dtype tagging drifts in either
+    direction, the value hash breaks."""
+    import tempfile
+
+    from knowledgegraphs_spark.sinks.ntriples import write_ntriples
+    from knowledgegraphs_spark.sources.ntriples_source import read_ntriples
+
+    nation = _t(spark, sf_dir, "nation")
+    k = F.concat(F.lit("kg:Nation_"), F.col("n_nationkey").cast("string"))
+
+    def row(pred: str, obj, dtype, is_lit: bool):
+        return nation.select(
+            k.alias("subj"),
+            F.lit(pred).alias("pred"),
+            obj.alias("obj"),
+            (F.lit(dtype) if dtype else F.lit(None)).cast("string").alias("obj_dtype"),
+            F.lit(is_lit).alias("is_literal"),
+        )
+
+    esc = F.concat(F.lit('say "'), F.col("n_name"), F.lit('" \\ '), F.lit("\n"), F.lit("end"))
+    triples = (
+        row("rdf:type", F.lit("kg:Nation"), None, False)
+        .unionByName(row("has_name", F.col("n_name"), "xsd:string", True))
+        .unionByName(row("has_label", F.lower(F.col("n_name")), "@de", True))
+        .unionByName(row("has_region", F.col("n_regionkey").cast("string"), "xsd:integer", True))
+        .unionByName(row("has_quote", esc, "xsd:string", True))
+    )
+    path = tempfile.gettempdir() + "/kg_s14_roundtrip_nt"
+    write_ntriples(triples, path)
+    return read_ntriples(spark, path).select(
+        "subj", "pred", "obj", "obj_dtype", "is_literal"
+    )
+
+
+_S14_SQL = """
+WITH n AS (SELECT 'kg:Nation_' || cast(n_nationkey AS varchar) AS subj, n_name, n_regionkey FROM nation)
+SELECT subj, 'rdf:type' AS pred, 'kg:Nation' AS obj, NULL AS obj_dtype, false AS is_literal FROM n
+UNION ALL SELECT subj, 'has_name', n_name, 'xsd:string', true FROM n
+UNION ALL SELECT subj, 'has_label', lower(n_name), '@de', true FROM n
+UNION ALL SELECT subj, 'has_region', cast(n_regionkey AS varchar), 'xsd:integer', true FROM n
+UNION ALL SELECT subj, 'has_quote', 'say "' || n_name || '" \\ ' || chr(10) || 'end', 'xsd:string', true FROM n
+""".strip()
+
+
 def q_kg_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full KG pipeline (mentions → blocked matching → iterative CC →
     triples), value-checked against :func:`_kg_full_sql` — the iterative
@@ -3824,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g10_sparql_optional_filter": q_sparql_optional_filter,
         "g11_sparql_aggregate": q_sparql_aggregate,
         "s12_turtle_roundtrip": q_turtle_roundtrip,
+        "s14_ntriples_roundtrip": q_ntriples_roundtrip,
         "g12_entity_pagerank": q_entity_pagerank,
         "g26_entity_triangles": q_entity_triangles,
         "g27_entity_communities": q_entity_communities,
@@ -3920,6 +3974,7 @@ def oracle_sql() -> dict[str, str]:
         "g10_sparql_optional_filter": _G10_SQL,
         "g11_sparql_aggregate": _G11_SQL,
         "s12_turtle_roundtrip": _S12_SQL,
+        "s14_ntriples_roundtrip": _S14_SQL,
         "g12_entity_pagerank": _pagerank_sql(),
         "g26_entity_triangles": _kg_full_ctes().strip() + _COMENTION_EDGE_CTES + _G26_SQL_TAIL,
         "g27_entity_communities": _lpa_sql(),
