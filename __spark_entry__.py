@@ -460,6 +460,52 @@ SELECT node, lbl AS label FROM {prev}
 """.strip()
 
 
+def q_supplier_part_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G28 (engine extension): k-core peel (k=30, 4 synchronous rounds)
+    over the supplier–part interaction graph (distinct lineitem pairs —
+    the instance graph of the rdb2owl p_PS relationship; the co-mention
+    graph is a complete K10 on this fixture, so the peel needs the
+    relational side's real degree variance: at sf0.01 the 30-core keeps
+    487 of 2 100 nodes after a genuine 2-round cascade). Monotone peel:
+    degrees only fall, so the early exit (a round that removes nothing)
+    is reproduced exactly by the 4-round unrolled twin, whose later
+    rounds are no-ops at the same fixpoint. Survivors carry their degree
+    inside the surviving subgraph."""
+    from knowledgegraphs_spark.operators.graph_analytics import k_core
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+    return k_core(edges, k=30, rounds=4)
+
+
+def _kcore_sql(k: int = 30, rounds: int = 4) -> str:
+    prev, steps = "e0", []
+    for i in range(1, rounds + 1):
+        steps.append(
+            f"""d{i} AS (SELECT src, count(*) AS c FROM {prev} GROUP BY src),
+k{i} AS (SELECT src AS node FROM d{i} WHERE c >= {k}),
+e{i} AS (
+  SELECT e.src, e.dst FROM {prev} e
+  JOIN k{i} a ON e.src = a.node JOIN k{i} b ON e.dst = b.node
+)"""
+        )
+        prev = f"e{i}"
+    chain = ", ".join(steps)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS u,
+                  'P' || CAST(l_partkey AS VARCHAR) AS v
+  FROM lineitem
+), e0 AS (
+  SELECT u AS src, v AS dst FROM pairs UNION ALL SELECT v AS src, u AS dst FROM pairs
+), {chain}
+SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree FROM {prev} GROUP BY src
+""".strip()
+
+
 def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S13 + Turtle SOURCE through the oracle gate: serialize a
     nation-derived triple set with the distributed Turtle sink
@@ -3694,6 +3740,47 @@ WHERE d.doc_id % 23 <> 0
 """.strip()
 
 
+# epoch weights for the t8 mixture: integer, half, pure-fraction, and a
+# >3 float whose threshold must be computed by the SAME driver-side
+# float math in the engine and the twin (hence _t8_sql inlines it)
+_T8_WEIGHTS = {"src0": 2.0, "src1": 1.5, "src2": 0.25, "src3": 3.4}
+
+
+def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 (engine extension): epoch-weighted mixture materialization —
+    every document of stratum s appears floor(w_s) or ceil(w_s) times
+    (deterministic md5-threshold choice of who gets the extra epoch), so
+    the stratum's expected multiplicity is exactly w_s. The engine path
+    is one shuffle-free codegen'd projection + explode; the oracle
+    recomputes the multiplicities relationally and unnests a series."""
+    from knowledgegraphs_spark.operators.training_filters import mixture_upsample
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_upsample(
+        docs.select("doc_id", "source"), weights=_T8_WEIGHTS,
+        stratum_col="source", id_col="doc_id",
+    )
+
+
+def _t8_sql() -> str:
+    rows = []
+    for s, w in _T8_WEIGHTS.items():
+        full = int(w)
+        thr = format(int((w - full) * 2**32), "08x")
+        rows.append(f"('{s}', {full}, '{thr}')")
+    vals = ", ".join(rows)
+    return f"""
+WITH w(stratum, n_full, thr) AS (SELECT * FROM (VALUES {vals})),
+j AS (
+  SELECT d.doc_id AS id, d.source AS stratum,
+         w.n_full + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < w.thr
+                         THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN w ON d.source = w.stratum
+)
+SELECT id, stratum, unnest(generate_series(0, n - 1)) AS epoch FROM j WHERE n > 0
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # t7: PII detection + redaction
 # ---------------------------------------------------------------------------
@@ -3881,6 +3968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g12_entity_pagerank": q_entity_pagerank,
         "g26_entity_triangles": q_entity_triangles,
         "g27_entity_communities": q_entity_communities,
+        "g28_supplier_part_kcore": q_supplier_part_kcore,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
         "g15_sparql_construct": q_sparql_construct,
@@ -3906,6 +3994,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t5_stratified_sample": q_stratified_sample,
         "t6_decontamination": q_decontamination,
         "t7_pii_scrub": q_pii_scrub,
+        "t8_mixture_upsample": q_mixture_upsample,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -3978,6 +4067,7 @@ def oracle_sql() -> dict[str, str]:
         "g12_entity_pagerank": _pagerank_sql(),
         "g26_entity_triangles": _kg_full_ctes().strip() + _COMENTION_EDGE_CTES + _G26_SQL_TAIL,
         "g27_entity_communities": _lpa_sql(),
+        "g28_supplier_part_kcore": _kcore_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,
         "g15_sparql_construct": _G15_SQL,
@@ -4003,6 +4093,7 @@ def oracle_sql() -> dict[str, str]:
         "t5_stratified_sample": _T5_SQL,
         "t6_decontamination": _T6_SQL,
         "t7_pii_scrub": _t7_sql(),
+        "t8_mixture_upsample": _t8_sql(),
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),

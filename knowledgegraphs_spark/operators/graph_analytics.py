@@ -8,8 +8,9 @@ weighting/selection signal for sampling and dedup decisions). This is
 the second iterative-graph operator next to connected components
 (``canonicalize.py``): CC is the alternating-frontier pattern, PageRank
 is the power-iteration pattern, triangle counting is the join-closure
-pattern, and label propagation is the neighborhood-vote pattern — the
-four shapes every distributed graph workload decomposes into.
+pattern, label propagation is the neighborhood-vote pattern, and k-core
+is the monotone-peel pattern — the five shapes every distributed graph
+workload decomposes into.
 
 Semantics (deliberately the textbook fixed-iteration form, so an exact
 relational twin exists): ``iters`` rounds of
@@ -255,3 +256,78 @@ def pagerank_py(
             nxt[d] += damping * ranks[s] / deg[s]
         ranks = nxt
     return ranks
+
+
+def k_core(edges: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
+    """Iterative k-core peel over ``edges(src, dst)`` read as an
+    undirected simple graph: each round drops every node whose degree in
+    the SURVIVING subgraph is below ``k`` (and the edges touching it),
+    until ``rounds`` rounds have run or a round removes nothing. Returns
+    ``(node, core_degree)`` for the survivors — ``core_degree`` is the
+    node's degree inside the surviving subgraph.
+
+    Fixed ``rounds`` keeps the exact-unrolled-twin contract of
+    :func:`pagerank` / :func:`label_propagation`: an early exit fires
+    only when a round removes NOTHING, which a twin unrolled to the same
+    ``rounds`` reproduces bit-for-bit (its later rounds are no-ops by
+    the same fixpoint). With enough rounds the result IS the k-core; a
+    partial peel (rounds exhausted first) is well-defined and
+    documented, not hidden — survivors may still carry degree < k.
+
+    Scale shape: per round ONE map-side-combinable degree ``groupBy``
+    over the doubled edge list plus TWO semi-joins filtering the edges
+    to surviving endpoints; the survivor set is node-vector-sized, so on
+    a cluster with edges pre-partitioned by ``src`` the src-side filter
+    is exchange-free and only the node vector moves. One ``count`` per
+    round drives the early exit (the CC discipline: one action per
+    round); ``localCheckpoint`` caps plan growth. Peeling touches only
+    rows it deletes — total work across rounds is O(edges + removed
+    nodes' degrees), the distributed analogue of the linear-time
+    Matula–Beck peel.
+    """
+    und = (
+        edges.select(F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    both = (
+        und.unionByName(und.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)
+    )
+    prev_nodes = -1
+    for _ in range(rounds):
+        deg = both.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src").localCheckpoint(eager=True)
+        n_keep = keep.count()
+        if n_keep == prev_nodes:
+            break
+        prev_nodes = n_keep
+        both = (
+            both.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    return both.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_degree")
+    )
+
+
+def k_core_py(
+    edges: list[tuple[str, str]], k: int = 2, rounds: int = 8
+) -> dict[str, int]:
+    """Pure-Python twin — same synchronous round semantics (all sub-k
+    nodes of a round drop together), same early exit."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        if s == d:
+            continue
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    for _ in range(rounds):
+        doomed = {v for v, nbrs in adj.items() if len(nbrs) < k}
+        if not doomed:
+            break
+        adj = {v: nbrs - doomed for v, nbrs in adj.items() if v not in doomed}
+    return {v: len(nbrs) for v, nbrs in adj.items() if nbrs}

@@ -31,6 +31,9 @@ corpora) — these extend the dedup/text-analysis family
   explodes shingles and counts distinct overlaps per document with a
   map-side-combinable groupBy. No shuffle touches benchmark-sized data;
   the only exchange is the per-document overlap count.
+* ``mixture_upsample`` — epoch-weighted mixture materialization
+  (fractional epochs via the same deterministic md5 key): one
+  shuffle-free codegen'd projection + explode, ANSI-SQL-expressible.
 """
 
 from __future__ import annotations
@@ -238,4 +241,78 @@ def decontaminate(
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
             (F.coalesce("n_overlap", F.lit(0)) >= min_overlap).alias("contaminated"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# epoch-weighted mixture upsampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_upsample(
+    docs: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a training mixture with per-source epoch weights —
+    the data-mixing step every pretraining run executes (a la the GPT-3 /
+    LLaMA mixture tables, where e.g. Wikipedia is seen ~3.4 epochs and
+    CommonCrawl ~0.44): each row of stratum ``s`` appears
+    ``floor(weights[s])`` or ``ceil(weights[s])`` times so the stratum's
+    expected multiplicity is exactly ``weights[s]``.
+
+    Which rows get the extra epoch is decided by the same deterministic,
+    engine-agnostic md5 key as :func:`stratified_sample`: the row gets
+    ``ceil`` iff the first 8 hex chars of ``md5(id)`` fall below the
+    fractional part's share of the 32-bit key space. Deterministic under
+    any partitioning, identically computable in ANSI SQL (the t8 oracle),
+    and unbiased across strata (the key depends on the id only).
+
+    Returns ``(id, stratum, epoch)`` with ``epoch`` in ``[0, copies)`` —
+    downstream shuffling/packing keys on ``(epoch, id)`` so repeated
+    copies land in different shards. Strata absent from ``weights`` are
+    dropped; weight 0 drops the stratum except the fractional share (use
+    e.g. 0.25 to downsample a source, the other half of mixture design).
+
+    Scale shape: ZERO shuffle — the whole operator is one codegen'd
+    projection over the scan (md5 + threshold compare + ``sequence`` /
+    ``explode``); output size is Σ weights[s]·|s| rows, the price of the
+    mixture itself, and the explode streams (no row-group blow-up in
+    memory). At 100 TB this is the shape you want: mixture materialization
+    rides the same scan as tokenize/pack, no exchange anywhere.
+    """
+    full_col = F.lit(None).cast("int")
+    thr_col = F.lit(None).cast("string")
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative mixture weight for stratum {s!r}: {w}")
+        full = int(w)
+        frac = w - full
+        full_col = F.when(F.col("stratum") == s, F.lit(full)).otherwise(full_col)
+        thr_col = F.when(
+            F.col("stratum") == s, F.lit(format(int(frac * 2**32), "08x"))
+        ).otherwise(thr_col)
+    base = docs.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        _sample_key(id_col).alias("u"),
+    ).filter(F.col("stratum").isin(list(weights)))
+    copies = (
+        full_col + F.when(F.substring("u", 1, 8) < thr_col, F.lit(1)).otherwise(F.lit(0))
+    ).alias("n")
+    # sequence(0, -1) would produce a DESCENDING [0, -1] — guard the
+    # zero-copy case with an empty array, which explode() drops.
+    return (
+        base.select("id", "stratum", copies)
+        .select(
+            "id",
+            "stratum",
+            F.explode(
+                F.when(
+                    F.col("n") > 0, F.sequence(F.lit(0), F.col("n") - F.lit(1))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("epoch"),
+        )
+        .select("id", "stratum", F.col("epoch").cast("long").alias("epoch"))
     )

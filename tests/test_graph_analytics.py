@@ -139,3 +139,58 @@ def test_lpa_tie_breaks_to_smallest_label_and_self_does_not_vote(spark):
     # round 1: v sees {m, z} → tie → 'm'; m sees {v} → 'v'; z sees {v} → 'v'
     assert got1 == {"m": "v", "v": "m", "z": "v"}
     assert got1 == label_propagation_py(edges, 1)
+
+
+# ---------------------------------------------------------------------------
+# k-core
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_distributed_equals_python_twin(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import k_core, k_core_py
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(16)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(60)})
+    for k in (1, 2, 3, 4):
+        got = {r.node: r.core_degree for r in k_core(_df(spark, edges), k=k, rounds=8).collect()}
+        assert got == k_core_py(edges, k=k, rounds=8), f"k={k}"
+
+
+def test_kcore_clique_survives_path_peels(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import k_core
+
+    # K4 clique with a path tail: a-b-c-d all pairwise, then d-e-f chain.
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    tail = [("d", "e"), ("e", "f")]
+    got = {r.node: r.core_degree for r in k_core(_df(spark, k4 + tail), k=3, rounds=8).collect()}
+    # the 3-core is exactly the clique; every member has degree 3 inside it
+    assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import k_core, k_core_py
+
+    # chain of diamonds: peeling the end vertex drops its neighbor below
+    # k, which drops the next — each round removes exactly one frontier,
+    # so rounds truly iterate (not a single-pass filter).
+    chain = [(f"v{i}", f"v{i+1}") for i in range(8)]
+    got = {r.node: r.core_degree for r in k_core(_df(spark, chain), k=2, rounds=3).collect()}
+    want = k_core_py(chain, k=2, rounds=3)
+    assert got == want
+    # a partial peel at rounds=3 still holds survivors (the middle of the
+    # chain hasn't been reached yet); full convergence empties the path
+    assert got  # partial
+    assert k_core_py(chain, k=2, rounds=10) == {}
+    full = {r.node: r.core_degree for r in k_core(_df(spark, chain), k=2, rounds=10).collect()}
+    assert full == {}
+
+
+def test_kcore_direction_duplicate_selfloop_invariance(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import k_core
+
+    base = [("a", "b"), ("b", "c"), ("c", "a")]
+    noisy = base + [("b", "a"), ("a", "b"), ("a", "a")]
+    got_base = {r.node: r.core_degree for r in k_core(_df(spark, base), k=2, rounds=4).collect()}
+    got_noisy = {r.node: r.core_degree for r in k_core(_df(spark, noisy), k=2, rounds=4).collect()}
+    assert got_base == got_noisy == {"a": 2, "b": 2, "c": 2}

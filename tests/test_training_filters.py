@@ -137,3 +137,87 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     plan = decontaminate(train, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# mixture upsampling
+# ---------------------------------------------------------------------------
+
+
+def _mix_docs(spark, n_per=40, sources=("a", "b", "c")):
+    rows = [(i * len(sources) + j, s) for i in range(n_per) for j, s in enumerate(sources)]
+    rows = [(i, s) for (i, s) in rows]
+    return spark.createDataFrame(
+        [(int(i), s) for i, s in rows], "doc_id long, source string"
+    )
+
+
+def test_mixture_multiplicity_floor_or_ceil_and_expectation(spark):
+    from knowledgegraphs_spark.operators.training_filters import mixture_upsample
+
+    docs = _mix_docs(spark, n_per=64)
+    out = mixture_upsample(docs, {"a": 2.5, "b": 1.0, "c": 0.25}).collect()
+    per_id = {}
+    for r in out:
+        per_id.setdefault((r.id, r.stratum), []).append(r.epoch)
+    # every materialized id's copy count is floor(w) or ceil(w), epochs 0..n-1
+    for (i, s), eps in per_id.items():
+        w = {"a": 2.5, "b": 1.0, "c": 0.25}[s]
+        assert len(eps) in (int(w), int(w) + (1 if w != int(w) else 0))
+        assert sorted(eps) == list(range(len(eps)))
+    # integer weight: exactly w copies for EVERY row of the stratum
+    b_ids = [k for k in per_id if k[1] == "b"]
+    assert len(b_ids) == 64 and all(len(per_id[k]) == 1 for k in b_ids)
+    # fractional strata land near the expectation (md5 is uniform; 64 rows,
+    # generous tolerance — determinism is pinned by the repeat-run test)
+    n_a = sum(len(v) for k, v in per_id.items() if k[1] == "a")
+    n_c = sum(len(v) for k, v in per_id.items() if k[1] == "c")
+    assert 64 * 2 <= n_a <= 64 * 3
+    assert 0 < n_c < 64
+
+
+def test_mixture_deterministic_and_stratum_independent(spark):
+    from knowledgegraphs_spark.operators.training_filters import mixture_upsample
+
+    docs = _mix_docs(spark, n_per=32)
+    a = sorted(map(tuple, mixture_upsample(docs, {"a": 1.5, "b": 0.5}).collect()))
+    b = sorted(map(tuple, mixture_upsample(docs.repartition(13), {"a": 1.5, "b": 0.5}).collect()))
+    assert a == b  # partitioning-independent
+    # the extra-epoch choice depends on the id only: the same ids moved to
+    # another stratum with the same weight get the same verdicts
+    b_rows = docs.filter(F.col("source") == "b")
+    moved = b_rows.withColumn("source", F.lit("a"))
+    am = {r.id for r in mixture_upsample(moved, {"a": 1.5}).collect() if r.epoch == 1}
+    bw = {r.id for r in mixture_upsample(b_rows, {"b": 1.5}).collect() if r.epoch == 1}
+    assert am == bw
+
+
+def test_mixture_drops_unlisted_strata_and_zero_weight_rows(spark):
+    from knowledgegraphs_spark.operators.training_filters import mixture_upsample
+
+    docs = _mix_docs(spark, n_per=16)
+    out = mixture_upsample(docs, {"a": 0.5}).collect()
+    assert {r.stratum for r in out} == {"a"}
+    # weight 0.5 → SOME rows absent entirely (n=0 guard exercised), the
+    # rest exactly once
+    assert 0 < len(out) < 16
+    assert all(r.epoch == 0 for r in out)
+
+
+def test_mixture_rejects_negative_weight(spark):
+    import pytest as _pytest
+
+    from knowledgegraphs_spark.operators.training_filters import mixture_upsample
+
+    docs = _mix_docs(spark, n_per=4)
+    with _pytest.raises(ValueError):
+        mixture_upsample(docs, {"a": -0.5})
+
+
+def test_mixture_is_shuffle_free(spark):
+    from knowledgegraphs_spark.operators.training_filters import mixture_upsample
+
+    docs = _mix_docs(spark, n_per=8)
+    plan = mixture_upsample(docs, {"a": 2.5, "b": 1.0})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
