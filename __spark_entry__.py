@@ -1207,6 +1207,54 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= 0
 """.strip()
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 (engine extension): duplicate-CLUSTER assignment — connected
+    components over the MinHash-LSH candidate pairs (d2's md5 family),
+    the step real dedup pipelines (SlimPajama/RefinedWeb-style) run after
+    LSH to turn pairwise collisions into one keeper per duplicate family.
+    Cluster id = min doc_id in the component; docs in no pair are their
+    own cluster. This PROMOTES the distributed CC operator — the
+    reference's own union-find shape (``AAExpansion/.../UnionFind.py``)
+    re-expressed as alternating large-star/small-star rounds
+    (``canonicalize.py``) — to the hash-gated oracle: ``cc_driver_threshold=0``
+    forces the distributed path even at fixture scale, so the oracle gate
+    value-checks the star algorithm itself against a recursive-CTE
+    reachability twin, not the driver union-find shortcut."""
+    from knowledgegraphs_spark.config import EngineConfig
+    from knowledgegraphs_spark.operators.canonicalize import connected_components
+    from knowledgegraphs_spark.operators.dedup import minhash_lsh_candidates
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    pairs = minhash_lsh_candidates(docs, k=16, bands=4, n=3, family="md5")
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        EngineConfig(cc_driver_threshold=0),
+    )
+    return docs.select("doc_id").join(
+        comp, docs["doc_id"] == comp["node"], "left"
+    ).select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+
+
+def _d6_sql() -> str:
+    """Recursive-CTE twin of d6: the same md5-family LSH pairs the d2
+    oracle derives, then label-spreading reachability to a fixpoint —
+    min reachable doc_id per node IS the component id (edges are added
+    in both directions, so the reachable set is the whole component)."""
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_sql(16, 4)}
+), e2 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.dst, r.lbl FROM e2 JOIN reach r ON e2.src = r.node
+)
+SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""".strip()
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 20 vectors as queries."""
     from knowledgegraphs_spark.operators.simsearch import brute_force_topk
@@ -4001,6 +4049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2b_dedup_minhash_xxhash64": q_dedup_minhash_xxhash,
         "d3_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "d4_dedup_simhash": q_dedup_simhash,
+        "d6_dedup_clusters": q_dedup_clusters,
         "s1_simsearch_topk": q_simsearch_topk,
         "s2_simsearch_lsh": q_simsearch_lsh,
         "s3_simsearch_ivf": q_simsearch_ivf,
@@ -4100,6 +4149,7 @@ def oracle_sql() -> dict[str, str]:
         "d2b_dedup_minhash_xxhash64": _d2b_sql(),
         "d3_dedup_ngram_jaccard": _JACCARD_SQL,
         "d4_dedup_simhash": _D4_SQL,
+        "d6_dedup_clusters": _d6_sql(),
         "s1_simsearch_topk": _SIMSEARCH_SQL,
         "s2_simsearch_lsh": _lsh_sql(),
         "s3_simsearch_ivf": _ivf_sql(),

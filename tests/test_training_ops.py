@@ -285,6 +285,42 @@ def test_minhash_md5_and_xxhash_families_agree_on_planted_dups(spark):
         assert not any(4 in p or 5 in p for p in pairs), family
 
 
+def test_dedup_clusters_transitive_and_singletons(spark):
+    """d6: LSH pairs → connected components gives TRANSITIVE duplicate
+    clusters (A~B and B~C put A,C in one cluster even if A,C never
+    collide directly) with min-id canonical, and docs in no pair stay
+    their own cluster. Forces the distributed large-star/small-star path
+    (cc_driver_threshold=0), matching the contract query's configuration."""
+    from knowledgegraphs_spark.config import EngineConfig
+    from knowledgegraphs_spark.operators.canonicalize import connected_components
+    from knowledgegraphs_spark.operators.dedup import minhash_lsh_candidates
+    from pyspark.sql import functions as F
+
+    base = " ".join(f"w{i:02d}" for i in range(30))
+    rows = [
+        (10, base),
+        (11, base),                       # exact dup of 10
+        (12, base.replace("w15", "w15x")),  # near dup — collides with the family
+        (40, " ".join(f"z{i:02d}" for i in range(30))),  # isolated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_lsh_candidates(docs, k=16, bands=4, family="md5")
+    comp = connected_components(
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")),
+        EngineConfig(cc_driver_threshold=0),
+    )
+    clusters = {
+        r.doc_id: r.cluster_id
+        for r in docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("component", "doc_id").alias("cluster_id"))
+        .collect()
+    }
+    assert clusters[10] == clusters[11] == 10
+    assert clusters[12] == 10  # transitive through the family
+    assert clusters[40] == 40  # singleton untouched
+
+
 def test_simhash_multirotation_guaranteed_recall(spark):
     """With 4 disjoint 16-bit windows covering all 64 bits, a pair within
     Hamming distance 3 differs in at most 3 windows → at least one window
