@@ -506,6 +506,53 @@ SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree FROM {prev} GROUP BY
 """.strip()
 
 
+def q_supplier_part_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G29 (engine extension): multi-source BFS hop distance (≤ 3) over
+    the supplier–part interaction graph from a deterministic seed set
+    (suppliers with ``l_suppkey % 50 = 1``) — the k-hop neighborhood
+    pull a KG pipeline runs to extract the context subgraph around
+    entities of interest. Level-synchronous frontier expansion
+    (``bfs_hops``); the oracle is a hop-bounded recursive CTE whose
+    min-over-paths aggregate reproduces the visited-set semantics
+    exactly (min hop = first level reached)."""
+    from knowledgegraphs_spark.operators.graph_analytics import bfs_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("u"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("v"),
+    ).distinct()
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    seeds = (
+        li.filter(F.col("l_suppkey") % 50 == 1)
+        .select(F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("node"))
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+_G29_SQL = """
+WITH RECURSIVE pairs AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS u,
+                  'P' || CAST(l_partkey AS VARCHAR) AS v
+  FROM lineitem
+), edges AS (
+  SELECT u AS src, v AS dst FROM pairs UNION SELECT v AS src, u AS dst FROM pairs
+), seeds AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS node
+  FROM lineitem WHERE l_suppkey % 50 = 1
+), reach(node, hops) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, r.hops + 1 FROM edges e JOIN reach r ON e.src = r.node
+  WHERE r.hops < 3
+)
+SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node
+""".strip()
+
+
 def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S13 + Turtle SOURCE through the oracle gate: serialize a
     nation-derived triple set with the distributed Turtle sink
@@ -4017,6 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g26_entity_triangles": q_entity_triangles,
         "g27_entity_communities": q_entity_communities,
         "g28_supplier_part_kcore": q_supplier_part_kcore,
+        "g29_supplier_part_hops": q_supplier_part_hops,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
         "g15_sparql_construct": q_sparql_construct,
@@ -4117,6 +4165,7 @@ def oracle_sql() -> dict[str, str]:
         "g26_entity_triangles": _kg_full_ctes().strip() + _COMENTION_EDGE_CTES + _G26_SQL_TAIL,
         "g27_entity_communities": _lpa_sql(),
         "g28_supplier_part_kcore": _kcore_sql(),
+        "g29_supplier_part_hops": _G29_SQL,
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,
         "g15_sparql_construct": _G15_SQL,

@@ -331,3 +331,75 @@ def k_core_py(
             break
         adj = {v: nbrs - doomed for v, nbrs in adj.items() if v not in doomed}
     return {v: len(nbrs) for v, nbrs in adj.items() if nbrs}
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 3) -> DataFrame:
+    """Multi-source BFS: minimum hop distance (≤ ``max_hops``) from any
+    seed over ``edges(src, dst)`` read as DIRECTED — pass both directions
+    for an undirected walk. ``seeds`` carries one column ``node``.
+    Returns ``(node, hops int)`` for every node reached, seeds at 0.
+    Unreached nodes are absent (the caller decides their sentinel).
+
+    The sixth distributed-graph shape next to CC's alternating frontier:
+    LEVEL-SYNCHRONOUS frontier expansion with a visited set — the
+    neighborhood/context-window walk a KG pipeline runs to pull the
+    k-hop subgraph around entities of interest (the reference's
+    ancestor walk ``util/Ontology.java:174-209`` is this traversal
+    specialized to ``subClassOf`` edges; here it is the general form
+    over any edge relation).
+
+    Scale shape: per hop ONE join of the edge relation against the
+    CURRENT FRONTIER on ``src`` (the frontier is the small side — at
+    scale, broadcastable while narrow, shuffle-joined once it grows),
+    a map-side-combinable ``distinct`` on the expansion, and ONE
+    ``left_anti`` against the visited node vector; every intermediate is
+    node-vector-sized, never edge-sized. ``localCheckpoint`` per round
+    caps plan growth; one ``count`` action per round drives the early
+    exit (the CC discipline). Fixed ``max_hops`` keeps the exact
+    bounded-recursive-twin contract of :func:`pagerank` /
+    :func:`k_core`: a twin recursing to the same bound reproduces the
+    result bit-for-bit, early exit included (an empty frontier recurses
+    into nothing on both sides).
+    """
+    visited = (
+        seeds.select("node").distinct()
+        .withColumn("hops", F.lit(0).cast("int"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node")
+    for h in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(h).cast("int"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited
+
+
+def bfs_hops_py(
+    edges: list[tuple[str, str]], seeds: list[str], max_hops: int = 3
+) -> dict[str, int]:
+    """Pure-Python twin — same level-synchronous semantics."""
+    adj: dict[str, set[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            nxt |= adj.get(n, set())
+        nxt -= dist.keys()
+        if not nxt:
+            break
+        for n in nxt:
+            dist[n] = h
+        frontier = nxt
+    return dist

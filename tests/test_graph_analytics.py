@@ -194,3 +194,32 @@ def test_kcore_direction_duplicate_selfloop_invariance(spark):
     got_base = {r.node: r.core_degree for r in k_core(_df(spark, base), k=2, rounds=4).collect()}
     got_noisy = {r.node: r.core_degree for r in k_core(_df(spark, noisy), k=2, rounds=4).collect()}
     assert got_base == got_noisy == {"a": 2, "b": 2, "c": 2}
+
+
+def test_bfs_hops_distributed_equals_python_twin(spark):
+    """Random directed graph, random multi-source seeds: distributed
+    level-synchronous BFS equals the pure-Python twin exactly, including
+    the min-hop tie (a node reachable at hops 2 and 3 reports 2)."""
+    from knowledgegraphs_spark.operators.graph_analytics import bfs_hops, bfs_hops_py
+
+    rng = random.Random(7)
+    nodes = [f"n{i}" for i in range(40)]
+    edges = list({(rng.choice(nodes), rng.choice(nodes)) for _ in range(120)})
+    seeds = ["n0", "n1"]
+    seeds_df = spark.createDataFrame([(s,) for s in seeds], "node string")
+    got = {r.node: r.hops for r in bfs_hops(_df(spark, edges), seeds_df, max_hops=3).collect()}
+    assert got == bfs_hops_py(edges, seeds, max_hops=3)
+
+
+def test_bfs_hops_early_exit_and_directedness(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import bfs_hops
+
+    # a -> b -> c, plus x -> a (upstream: must NOT be reached — directed)
+    edges = [("a", "b"), ("b", "c"), ("x", "a")]
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r.node: r.hops for r in bfs_hops(_df(spark, edges), seeds, max_hops=5).collect()}
+    assert got == {"a": 0, "b": 1, "c": 2}  # frontier empties at hop 3: early exit
+    # undirected walk = caller doubles the edges
+    both = edges + [(d, s) for s, d in edges]
+    got_u = {r.node: r.hops for r in bfs_hops(_df(spark, both), seeds, max_hops=5).collect()}
+    assert got_u == {"a": 0, "b": 1, "x": 1, "c": 2}
