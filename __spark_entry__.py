@@ -3670,6 +3670,34 @@ FROM documents
 """.strip()
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9 (engine extension): corpus-unigram LM quality scoring — the
+    CCNet-style signal (per-doc mean token log-prob under a unigram model
+    trained on the corpus in the same job). One explode pass, a
+    vocabulary-scale aggregate, one scoring shuffle join; see
+    ``text_analysis.unigram_logprob``."""
+    from knowledgegraphs_spark.operators.text_analysis import unigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unigram_logprob(docs)
+
+
+_T9_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+  FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+), tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab)
+SELECT doc_id,
+       round(avg(ln(CAST(c AS DOUBLE) / (SELECT t FROM tot))), 6) AS logprob,
+       CAST(count(*) AS BIGINT) AS n_toks
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # t3: sequence packing — global token offsets + fixed-budget bin layout
 # ---------------------------------------------------------------------------
@@ -4091,6 +4119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t6_decontamination": q_decontamination,
         "t7_pii_scrub": q_pii_scrub,
         "t8_mixture_upsample": q_mixture_upsample,
+        "t9_unigram_logprob": q_unigram_logprob,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4192,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "t6_decontamination": _T6_SQL,
         "t7_pii_scrub": _t7_sql(),
         "t8_mixture_upsample": _t8_sql(),
+        "t9_unigram_logprob": _T9_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),

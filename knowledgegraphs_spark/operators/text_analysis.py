@@ -150,3 +150,45 @@ def text_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
         language_id(t).alias("lang_id"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def alpha_tokens(text: Column) -> Column:
+    """Lowercased alphabetic word tokens (runs of a–z) — the unigram-LM
+    vocabulary unit. Split-on-complement keeps the expression a single
+    codegen'd projection and bit-matches the DuckDB twin's
+    ``regexp_split_to_array(lower(text), '[^a-z]+')``."""
+    return F.filter(F.split(F.lower(text), "[^a-z]+"), lambda t: t != "")
+
+
+def unigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-unigram language-model scoring — the CCNet-style quality
+    signal (per-doc mean token log-probability under a LM; docs whose
+    tokens are corpus-typical score high, gibberish and boilerplate-free
+    rarities score low), with the LM trained on the corpus itself in the
+    same job. Returns ``(id_col, logprob double, n_toks long)``; docs
+    with zero alphabetic tokens are absent (no model support).
+
+    Scale shape: ONE explode pass builds the token relation
+    (checkpointed — Spark has no cross-branch CSE and both the vocabulary
+    aggregate and the scoring join consume it); the vocabulary is a
+    map-side-combinable ``groupBy(tok)`` whose result is
+    vocabulary-scale, not corpus-scale; the corpus token total is a
+    single scalar aggregate (driver-scale by definition, the CC-signature
+    discipline); scoring is one shuffle join token⋈vocab followed by a
+    map-side-combinable per-doc average. No Python in the row path.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(alpha_tokens(F.col(text_col))).alias("tok")
+    ).localCheckpoint(eager=True)
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t")).first()["t"]
+    return (
+        toks.join(vocab, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.avg(F.log(F.col("c") / F.lit(float(total)))), 6).alias("logprob"),
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+        )
+    )

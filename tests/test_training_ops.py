@@ -507,3 +507,25 @@ def test_bucket_combination_explode_counts(spark):
         expected |= {(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]}
         start += n
     assert pairs == expected
+
+
+def test_unigram_logprob_ranks_typical_above_rare(spark):
+    """t9: docs made of corpus-typical tokens outscore docs of hapaxes;
+    zero-alpha-token docs are absent; n_toks counts alpha tokens only."""
+    from knowledgegraphs_spark.operators.text_analysis import unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "zygomorphic quixotry"),          # hapaxes
+        (4, "12345 !!! ???"),                  # no alphabetic tokens
+        (5, "the the the"),                    # most typical token only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+    assert 4 not in got
+    assert got[5].logprob > got[1].logprob > got[3].logprob
+    assert got[1].n_toks == 6 and got[3].n_toks == 2
+    import math
+    # doc 5: p(the) = 7/17  (the×7, cat/sat/on/mat ×2 each, 2 hapaxes)
+    assert abs(got[5].logprob - round(math.log(7 / 17), 6)) < 1e-9
