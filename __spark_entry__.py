@@ -3698,6 +3698,40 @@ GROUP BY doc_id
 """.strip()
 
 
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10 (engine extension): per-language EXACT token-count quantiles —
+    the corpus length-distribution audit run before choosing packing
+    budgets and length filters. ``F.percentile`` is the exact
+    (quantile_cont-interpolating) aggregate, which is what makes the
+    cross-engine value gate possible; at 100-TB scale the same query
+    swaps in ``percentile_approx`` (t-digest sketch, one pass,
+    mergeable) — the exact form stays the correctness twin at audit
+    scale. Map-side-combinable group-by-language aggregate; no Python."""
+    from knowledgegraphs_spark.operators.text_analysis import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", token_count(F.col("text")).cast("double").alias("n")
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.percentile("n", 0.25), 4).alias("p25"),
+        F.round(F.percentile("n", 0.5), 4).alias("p50"),
+        F.round(F.percentile("n", 0.9), 4).alias("p90"),
+    )
+
+
+_T10_SQL = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n, 0.25), 4) AS p25,
+       round(quantile_cont(n, 0.5), 4) AS p50,
+       round(quantile_cont(n, 0.9), 4) AS p90
+FROM (SELECT lang,
+             CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS DOUBLE) AS n
+      FROM documents)
+GROUP BY lang
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # t3: sequence packing — global token offsets + fixed-budget bin layout
 # ---------------------------------------------------------------------------
@@ -4120,6 +4154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_pii_scrub": q_pii_scrub,
         "t8_mixture_upsample": q_mixture_upsample,
         "t9_unigram_logprob": q_unigram_logprob,
+        "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
         "d2_dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -4222,6 +4257,7 @@ def oracle_sql() -> dict[str, str]:
         "t7_pii_scrub": _t7_sql(),
         "t8_mixture_upsample": _t8_sql(),
         "t9_unigram_logprob": _T9_SQL,
+        "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
         "d2_dedup_minhash_lsh": _minhash_sql(16, 4),
