@@ -3670,6 +3670,52 @@ FROM documents
 """.strip()
 
 
+def q_hll_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 (engine extension): HyperLogLog register relation (p=6) over
+    the corpus token stream — the mergeable distinct-count primitive
+    (vocabulary size without shuffling the vocabulary). Pure Catalyst:
+    xxhash64 + integer-exact rank via ``length(bin(w))``, one map-side-
+    combinable groupBy(bucket).max. The oracle re-derives every register
+    through the independent pure-Python XXH64 twin (the same machinery
+    that gates the production MinHash family) — see
+    ``operators/sketches.py``."""
+    from knowledgegraphs_spark.operators.sketches import hll_registers
+    from knowledgegraphs_spark.operators.text_analysis import alpha_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(alpha_tokens(F.col("text"))).alias("tok"))
+    return hll_registers(toks, "tok", p=6)
+
+
+def _a9_sql() -> str:
+    """Build-time twin oracle for a9 (the _d2b pattern): DuckDB tokenizes
+    with the exact expression t9 proves bit-identical to the Spark plan's
+    ``alpha_tokens``; registers come from the independent XXH64 twin."""
+    import duckdb
+
+    from knowledgegraphs_spark.operators.sketches import hll_registers_py
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    toks = [
+        r[0]
+        for r in duckdb.sql(
+            f"""
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                      x -> x <> '')) AS tok
+            FROM read_parquet('{sf_dir}/documents.parquet')
+            """
+        ).fetchall()
+    ]
+    regs = hll_registers_py(toks, p=6)
+    if not regs:
+        return "SELECT CAST(NULL AS INT) AS bucket, CAST(NULL AS INT) AS max_rank WHERE false"
+    values = ", ".join(f"({b},{r})" for b, r in sorted(regs.items()))
+    return (
+        "SELECT CAST(bucket AS INT) AS bucket, CAST(max_rank AS INT) AS max_rank\n"
+        f"FROM (VALUES {values}) t(bucket, max_rank)"
+    )
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 (engine extension): corpus-unigram LM quality scoring — the
     CCNet-style signal (per-doc mean token log-prob under a unigram model
@@ -4154,6 +4200,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t7_pii_scrub": q_pii_scrub,
         "t8_mixture_upsample": q_mixture_upsample,
         "t9_unigram_logprob": q_unigram_logprob,
+        "a9_hll_token_sketch": q_hll_token_sketch,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4257,6 +4304,7 @@ def oracle_sql() -> dict[str, str]:
         "t7_pii_scrub": _t7_sql(),
         "t8_mixture_upsample": _t8_sql(),
         "t9_unigram_logprob": _T9_SQL,
+        "a9_hll_token_sketch": _a9_sql(),
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,
