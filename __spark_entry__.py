@@ -506,6 +506,68 @@ SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree FROM {prev} GROUP BY
 """.strip()
 
 
+def q_comention_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G30 (engine extension): pointwise mutual information over entity
+    co-mention pairs of the FULL build — the edge-confidence weighting a
+    KG pipeline attaches before thresholding association edges
+    (PMI(a,b) = ln(n_ab·N / (n_a·n_b)) over conversation co-occurrence).
+    Pair enumeration is the per-conversation join (bounded
+    entities-per-conversation — the g26 linearity argument); marginals
+    are map-side-combinable counts; the conversation total is one scalar.
+    Rounded to 6 dp on both engines."""
+    from knowledgegraphs_spark.operators.bgp import match_bgp
+
+    triples = q_kg_triples_full(spark, sf_dir).localCheckpoint(eager=True)
+    ce = (
+        match_bgp(
+            triples,
+            [
+                ("?t", "has_mention", "?m"),
+                ("?m", "p_Mention_Entity", "?e"),
+                ("?t", "p_Turn_Conversation", "?c"),
+            ],
+        )
+        .select("e", "c")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_convs = ce.select("c").distinct().count()
+    marg = ce.groupBy("e").agg(F.count(F.lit(1)).alias("cnt"))
+    pairs = (
+        ce.alias("a")
+        .join(ce.alias("b"), (F.col("a.c") == F.col("b.c")) & (F.col("a.e") < F.col("b.e")))
+        .groupBy(F.col("a.e").alias("src"), F.col("b.e").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(marg.select(F.col("e").alias("src"), F.col("cnt").alias("n_a")), "src")
+        .join(marg.select(F.col("e").alias("dst"), F.col("cnt").alias("n_b")), "dst")
+        .select(
+            "src", "dst", F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(
+                F.log(F.col("n_ab") * F.lit(float(n_convs)) / (F.col("n_a") * F.col("n_b"))), 6
+            ).alias("pmi"),
+        )
+    )
+
+
+def _g30_sql() -> str:
+    return f"""
+{_kg_full_ctes().strip()}, ce AS (
+  SELECT DISTINCT 'kg:Entity_' || ename AS e, conv_id AS c FROM mrows
+), nn AS (SELECT CAST(count(DISTINCT c) AS DOUBLE) AS n FROM ce),
+ne AS (SELECT e, count(*) AS cnt FROM ce GROUP BY e),
+pr AS (
+  SELECT a.e AS src, b.e AS dst, count(*) AS n_ab
+  FROM ce a JOIN ce b ON a.c = b.c AND a.e < b.e
+  GROUP BY a.e, b.e
+)
+SELECT src, dst, CAST(n_ab AS BIGINT) AS n_ab,
+       round(ln(n_ab * (SELECT n FROM nn) / (na.cnt * nb.cnt)), 6) AS pmi
+FROM pr JOIN ne na ON na.e = pr.src JOIN ne nb ON nb.e = pr.dst
+""".strip()
+
+
 def q_supplier_part_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G29 (engine extension): multi-source BFS hop distance (≤ 3) over
     the supplier–part interaction graph from a deterministic seed set
@@ -3716,6 +3778,40 @@ def _a9_sql() -> str:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16 (engine extension): top-3 TF-IDF keywords per document — the
+    entity-candidate generation step upstream of mention matching. Ranks
+    compare the rounded score with a lexicographic tie-break so both
+    engines order identically; see ``text_analysis.tfidf_keywords``."""
+    from knowledgegraphs_spark.operators.text_analysis import tfidf_keywords
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_keywords(docs, k=3)
+
+
+_X16_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM toks),
+scored AS (
+  SELECT doc_id, tok, tf,
+         round(tf * ln((SELECT n FROM nd) / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (tok)
+), ranked AS (
+  SELECT doc_id, tok, tf, tfidf,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, tok) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, tok, tf, tfidf, rank FROM ranked WHERE rank <= 3
+""".strip()
+
+
 def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T9 (engine extension): corpus-unigram LM quality scoring — the
     CCNet-style signal (per-doc mean token log-prob under a unigram model
@@ -4173,6 +4269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g27_entity_communities": q_entity_communities,
         "g28_supplier_part_kcore": q_supplier_part_kcore,
         "g29_supplier_part_hops": q_supplier_part_hops,
+        "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
         "g15_sparql_construct": q_sparql_construct,
@@ -4201,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t8_mixture_upsample": q_mixture_upsample,
         "t9_unigram_logprob": q_unigram_logprob,
         "a9_hll_token_sketch": q_hll_token_sketch,
+        "x16_tfidf_keywords": q_tfidf_keywords,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4277,6 +4375,7 @@ def oracle_sql() -> dict[str, str]:
         "g27_entity_communities": _lpa_sql(),
         "g28_supplier_part_kcore": _kcore_sql(),
         "g29_supplier_part_hops": _G29_SQL,
+        "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,
         "g15_sparql_construct": _G15_SQL,
@@ -4305,6 +4404,7 @@ def oracle_sql() -> dict[str, str]:
         "t8_mixture_upsample": _t8_sql(),
         "t9_unigram_logprob": _T9_SQL,
         "a9_hll_token_sketch": _a9_sql(),
+        "x16_tfidf_keywords": _X16_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

@@ -192,3 +192,43 @@ def unigram_logprob(
             F.count(F.lit(1)).cast("long").alias("n_toks"),
         )
     )
+
+
+def tfidf_keywords(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — keyword extraction, the
+    entity-CANDIDATE generation step upstream of mention matching (the
+    reference's annotation pipeline starts from already-chosen terms;
+    a corpus-scale pipeline has to surface them first). Returns
+    ``(id_col, tok, tf long, tfidf double, rank int)``.
+
+    Scale shape: one explode pass (checkpointed — consumed by both the
+    per-doc TF aggregate and the document-frequency aggregate; Spark has
+    no cross-branch CSE), both aggregates map-side combinable, document
+    count is a single scalar (driver-scale by definition), then one
+    shuffle join tf⋈df on the token and a per-doc top-k window over at
+    most vocabulary-per-doc rows. Ranking compares the ROUNDED score
+    (6 dp) with a lexicographic tie-break so the order is reproducible
+    across engines and runs.
+    """
+    import math
+
+    toks = docs.select(
+        F.col(id_col), F.explode(alpha_tokens(F.col(text_col))).alias("tok")
+    ).localCheckpoint(eager=True)
+    tf = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = toks.select(id_col).distinct().count()
+    scored = tf.join(dfreq, "tok").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "tok", "tf", "tfidf", "rank")
+    )
