@@ -4045,6 +4045,87 @@ WHERE d.doc_id % 23 <> 0
 _T8_WEIGHTS = {"src0": 2.0, "src1": 1.5, "src2": 0.25, "src3": 3.4}
 
 
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 (engine extension): deterministic negative sampling for
+    KG-embedding training (the TransE/DistMult data step) — for each
+    positive relation triple (order, p_Orders_Customer, customer), emit
+    k=2 tail-corrupted negatives drawn uniformly from the customer
+    entity vocabulary by an md5 polynomial fold (the rolling-hash
+    machinery t2 proves cross-engine), under the FILTERED protocol
+    (negatives colliding with the true tail are dropped, so no negative
+    is a positive). Entity indexing is a global ranking over the ENTITY
+    table — vocabulary-scale by definition, never corpus-scale; the
+    corruption itself is a shuffle-free codegen'd projection + one join
+    against the indexed vocabulary."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ents = cust.select(
+        F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string")).alias("ent")
+    )
+    n_ents = ents.count()
+    idx = ents.select(
+        "ent", F.row_number().over(W.orderBy("ent")).cast("long").alias("eidx")
+    )
+    pos = orders.select(
+        F.concat(F.lit("kg:Orders_"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.concat(F.lit("kg:Customer_"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    hexval = lambda c: F.ascii(c) - F.when(F.ascii(c) >= 97, F.lit(87)).otherwise(F.lit(48))  # noqa: E731
+    expanded = pos.select(
+        "subj", "obj", F.explode(F.array(F.lit(1), F.lit(2))).alias("neg_id")
+    ).withColumn(
+        "pick",
+        F.aggregate(
+            F.filter(
+                F.split(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("subj"), F.col("neg_id"))), 1, 12
+                    ),
+                    "",
+                ),
+                lambda c: c != "",
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc * 16 + hexval(c),
+        )
+        % n_ents
+        + 1,
+    )
+    return (
+        expanded.join(idx, expanded["pick"] == idx["eidx"])
+        .where(F.col("ent") != F.col("obj"))  # filtered protocol
+        .select("subj", F.lit("p_Orders_Customer").alias("pred"),
+                F.col("ent").alias("obj_neg"), F.col("neg_id").cast("int").alias("neg_id"))
+    )
+
+
+_M7_SQL = """
+WITH ents AS (
+  SELECT 'kg:Customer_' || CAST(c_custkey AS VARCHAR) AS ent FROM customer
+), idx AS (
+  SELECT ent, CAST(row_number() OVER (ORDER BY ent) AS BIGINT) AS eidx FROM ents
+), nn AS (SELECT count(*) AS n FROM ents),
+pos AS (
+  SELECT 'kg:Orders_' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'kg:Customer_' || CAST(o_custkey AS VARCHAR) AS obj
+  FROM orders
+), expanded AS (
+  SELECT subj, obj, neg_id,
+         list_reduce(
+           list_prepend(0::BIGINT,
+             list_transform(
+               list_filter(regexp_split_to_array(substr(md5(subj || '|' || CAST(neg_id AS VARCHAR)), 1, 12), ''), c -> c <> ''),
+               c -> CAST(ascii(c) - CASE WHEN ascii(c) >= 97 THEN 87 ELSE 48 END AS BIGINT))),
+           (acc, v) -> acc * 16 + v
+         ) % (SELECT n FROM nn) + 1 AS pick
+  FROM pos, (SELECT unnest([1, 2]) AS neg_id)
+)
+SELECT subj, 'p_Orders_Customer' AS pred, idx.ent AS obj_neg, CAST(neg_id AS INT) AS neg_id
+FROM expanded JOIN idx ON expanded.pick = idx.eidx
+WHERE idx.ent <> expanded.obj
+""".strip()
+
+
 def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 (engine extension): epoch-weighted mixture materialization —
     every document of stratum s appears floor(w_s) or ceil(w_s) times
@@ -4299,6 +4380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_unigram_logprob": q_unigram_logprob,
         "a9_hll_token_sketch": q_hll_token_sketch,
         "x16_tfidf_keywords": q_tfidf_keywords,
+        "m7_negative_samples": q_negative_samples,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4405,6 +4487,7 @@ def oracle_sql() -> dict[str, str]:
         "t9_unigram_logprob": _T9_SQL,
         "a9_hll_token_sketch": _a9_sql(),
         "x16_tfidf_keywords": _X16_SQL,
+        "m7_negative_samples": _M7_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

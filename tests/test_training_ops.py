@@ -529,3 +529,22 @@ def test_unigram_logprob_ranks_typical_above_rare(spark):
     import math
     # doc 5: p(the) = 7/17  (the×7, cat/sat/on/mat ×2 each, 2 hapaxes)
     assert abs(got[5].logprob - round(math.log(7 / 17), 6)) < 1e-9
+
+
+def test_negative_samples_filtered_and_spread(spark):
+    """m7: no negative equals its positive tail (filtered protocol), ~2
+    negatives per positive (collisions only drop), corrupted tails spread
+    broadly over the entity vocabulary, fully deterministic."""
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    pos = spark.read.parquet(f"{sf}/orders.parquet").count()
+    neg = entry.q_negative_samples(spark, sf)
+    rows = neg.collect()
+    n_cust = spark.read.parquet(f"{sf}/customer.parquet").count()
+    assert pos * 2 * 0.9 <= len(rows) <= pos * 2  # only true-tail collisions drop
+    assert all(r.pred == "p_Orders_Customer" for r in rows[:50])
+    distinct_tails = len({r.obj_neg for r in rows})
+    assert distinct_tails > 0.5 * n_cust  # uniform-ish spread
+    again = {(r.subj, r.neg_id, r.obj_neg) for r in entry.q_negative_samples(spark, sf).collect()}
+    assert again == {(r.subj, r.neg_id, r.obj_neg) for r in rows}
