@@ -4126,6 +4126,119 @@ WHERE idx.ent <> expanded.obj
 """.strip()
 
 
+def q_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 (engine extension): link-prediction evaluation — MRR and
+    Hits@k under the FILTERED protocol, the measurement step that closes
+    the KG-embedding training loop m7's negative sampler opens. Each
+    positive (order, p_Orders_Customer, customer) is ranked against k=4
+    deterministic tail-corruption negatives (same md5-fold machinery as
+    m7) under a deterministic pseudo-score (the md5 fold of
+    subj#candidate — the engine under test is the RANKING machinery, not
+    a model); the true tail's rank per query feeds MRR / Hits@1 /
+    Hits@3. One window over the query key (groups are k+1 rows, never
+    corpus-sized) + one conditional aggregate — pure Catalyst."""
+    from knowledgegraphs_spark.operators.ranking_eval import link_prediction_metrics
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    ents = cust.select(
+        F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string")).alias("ent")
+    )
+    n_ents = ents.count()
+    idx = ents.select(
+        "ent", F.row_number().over(W.orderBy("ent")).cast("long").alias("eidx")
+    )
+    pos = orders.select(
+        F.concat(F.lit("kg:Orders_"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.concat(F.lit("kg:Customer_"), F.col("o_custkey").cast("string")).alias("obj"),
+    )
+    hexval = lambda c: F.ascii(c) - F.when(F.ascii(c) >= 97, F.lit(87)).otherwise(F.lit(48))  # noqa: E731
+
+    def fold(col):
+        return F.aggregate(
+            F.filter(F.split(F.substring(F.md5(col), 1, 12), ""), lambda c: c != ""),
+            F.lit(0).cast("long"),
+            lambda acc, c: acc * 16 + hexval(c),
+        )
+
+    negs = (
+        pos.select(
+            "subj", "obj",
+            F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)])).alias("neg_id"),
+        )
+        .withColumn(
+            "pick", fold(F.concat_ws("|", F.col("subj"), F.col("neg_id"))) % n_ents + 1
+        )
+        .join(idx, F.col("pick") == F.col("eidx"))
+        .where(F.col("ent") != F.col("obj"))
+        .select("subj", "obj", F.col("ent").alias("cand"))
+    )
+    cands = (
+        pos.select("subj", "obj", F.col("obj").alias("cand"))
+        .unionByName(negs)
+        .dropDuplicates(["subj", "cand"])
+    )
+    scored = cands.withColumn(
+        "score", fold(F.concat_ws("#", F.col("subj"), F.col("cand")))
+    ).withColumn("is_true", F.col("cand") == F.col("obj"))
+    m = link_prediction_metrics(
+        scored, query_col="subj", cand_col="cand", score_col="score",
+        is_true_col="is_true", ks=(1, 3),
+    )
+    return m.select(
+        F.lit("p_Orders_Customer").alias("pred"),
+        "n_queries", "mrr", "hits_at_1", "hits_at_3",
+    )
+
+
+_M8_FOLD = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(list_filter("
+    "regexp_split_to_array(substr(md5({x}), 1, 12), ''), c -> c <> ''),"
+    " c -> CAST(ascii(c) - CASE WHEN ascii(c) >= 97 THEN 87 ELSE 48 END AS BIGINT))),"
+    " (acc, v) -> acc * 16 + v)"
+)
+
+_M8_SQL = f"""
+WITH ents AS (
+  SELECT 'kg:Customer_' || CAST(c_custkey AS VARCHAR) AS ent FROM customer
+), idx AS (
+  SELECT ent, CAST(row_number() OVER (ORDER BY ent) AS BIGINT) AS eidx FROM ents
+), nn AS (SELECT count(*) AS n FROM ents),
+pos AS (
+  SELECT 'kg:Orders_' || CAST(o_orderkey AS VARCHAR) AS subj,
+         'kg:Customer_' || CAST(o_custkey AS VARCHAR) AS obj
+  FROM orders
+), negs AS (
+  SELECT e.subj, e.obj, idx.ent AS cand
+  FROM (
+    SELECT subj, obj, neg_id,
+           {_M8_FOLD.format(x="subj || '|' || CAST(neg_id AS VARCHAR)")}
+             % (SELECT n FROM nn) + 1 AS pick
+    FROM pos, (SELECT unnest([1, 2, 3, 4]) AS neg_id)
+  ) e JOIN idx ON e.pick = idx.eidx
+  WHERE idx.ent <> e.obj
+), cands AS (
+  SELECT DISTINCT subj, obj, cand FROM (
+    SELECT subj, obj, obj AS cand FROM pos
+    UNION ALL SELECT subj, obj, cand FROM negs
+  )
+), ranked AS (
+  SELECT subj, obj, cand,
+         rank() OVER (
+           PARTITION BY subj
+           ORDER BY {_M8_FOLD.format(x="subj || '#' || cand")} DESC, cand ASC
+         ) AS rnk
+  FROM cands
+)
+SELECT 'p_Orders_Customer' AS pred,
+       count(*) AS n_queries,
+       round(avg(CAST(1.0 AS DOUBLE) / rnk), 6) AS mrr,
+       round(avg(CASE WHEN rnk <= 1 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS hits_at_1,
+       round(avg(CASE WHEN rnk <= 3 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END), 6) AS hits_at_3
+FROM ranked WHERE cand = obj
+""".strip()
+
+
 def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 (engine extension): epoch-weighted mixture materialization —
     every document of stratum s appears floor(w_s) or ceil(w_s) times
@@ -4381,6 +4494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_hll_token_sketch": q_hll_token_sketch,
         "x16_tfidf_keywords": q_tfidf_keywords,
         "m7_negative_samples": q_negative_samples,
+        "m8_ranking_metrics": q_ranking_metrics,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4488,6 +4602,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_hll_token_sketch": _a9_sql(),
         "x16_tfidf_keywords": _X16_SQL,
         "m7_negative_samples": _M7_SQL,
+        "m8_ranking_metrics": _M8_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

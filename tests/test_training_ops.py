@@ -548,3 +548,31 @@ def test_negative_samples_filtered_and_spread(spark):
     assert distinct_tails > 0.5 * n_cust  # uniform-ish spread
     again = {(r.subj, r.neg_id, r.obj_neg) for r in entry.q_negative_samples(spark, sf).collect()}
     assert again == {(r.subj, r.neg_id, r.obj_neg) for r in rows}
+
+
+def test_link_prediction_metrics_hand_computed(spark):
+    """m8 machinery: ranks, tie-break, MRR and Hits@k pinned on a fixture
+    with known ranks (q1 true first, q2 true third, q3 a score tie broken
+    by candidate key in the true row's favor)."""
+    from knowledgegraphs_spark.operators.ranking_eval import (
+        link_prediction_metrics,
+        ranked_candidates,
+    )
+
+    rows = [
+        ("q1", "t", 10.0, True), ("q1", "n1", 5.0, False), ("q1", "n2", 3.0, False),
+        ("q2", "t", 5.0, True), ("q2", "n1", 10.0, False), ("q2", "n2", 7.0, False),
+        ("q3", "a", 7.0, True), ("q3", "b", 7.0, False),
+    ]
+    df = spark.createDataFrame(rows, "q string, cand string, score double, is_true boolean")
+    ranks = {
+        (r.q, r.cand): r.rank
+        for r in ranked_candidates(df, "q", "cand", "score").collect()
+    }
+    assert ranks[("q1", "t")] == 1 and ranks[("q2", "t")] == 3
+    assert ranks[("q3", "a")] == 1 and ranks[("q3", "b")] == 2  # tie -> cand asc
+    m = link_prediction_metrics(df, "q", "cand", "score", "is_true", ks=(1, 3)).first()
+    assert m.n_queries == 3
+    assert m.mrr == round((1 + 1 / 3 + 1) / 3, 6)
+    assert m.hits_at_1 == round(2 / 3, 6)
+    assert m.hits_at_3 == 1.0
