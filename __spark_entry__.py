@@ -4239,6 +4239,34 @@ FROM ranked WHERE cand = obj
 """.strip()
 
 
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11 (engine extension): skip-gram (center, context) pair counts
+    with a ±2 position window — the word2vec/SGNS training-pair
+    generation step over the documents corpus. Context lookup is an
+    equi-join of the position table with itself on (doc, pos+offset)
+    (scale-safe: no per-token array copies, no doc-id-only skew join),
+    then one map-side-combinable pair count; see
+    ``text_analysis.skipgram_pairs``."""
+    from knowledgegraphs_spark.operators.text_analysis import skipgram_pairs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return skipgram_pairs(docs, window=2)
+
+
+_T11_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), 1) AS pos
+  FROM documents
+)
+SELECT a.tok AS center, b.tok AS context, count(*) AS n_pairs
+FROM toks a JOIN toks b
+  ON a.doc_id = b.doc_id AND b.pos BETWEEN a.pos - 2 AND a.pos + 2 AND b.pos <> a.pos
+GROUP BY 1, 2
+""".strip()
+
+
 def q_mixture_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 (engine extension): epoch-weighted mixture materialization —
     every document of stratum s appears floor(w_s) or ceil(w_s) times
@@ -4495,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_tfidf_keywords": q_tfidf_keywords,
         "m7_negative_samples": q_negative_samples,
         "m8_ranking_metrics": q_ranking_metrics,
+        "t11_skipgram_pairs": q_skipgram_pairs,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4603,6 +4632,7 @@ def oracle_sql() -> dict[str, str]:
         "x16_tfidf_keywords": _X16_SQL,
         "m7_negative_samples": _M7_SQL,
         "m8_ranking_metrics": _M8_SQL,
+        "t11_skipgram_pairs": _T11_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

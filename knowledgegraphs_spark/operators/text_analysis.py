@@ -232,3 +232,45 @@ def tfidf_keywords(
         .where(F.col("rank") <= k)
         .select(id_col, "tok", "tf", "tfidf", "rank")
     )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    window: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within ±window
+    token positions — the word2vec/SGNS training-pair generation step of
+    an embedding data pipeline, over ``alpha_tokens`` tokenization.
+
+    Scale shape: the context lookup is an EQUI-join of the position
+    table with itself on (doc, position+offset) — never a per-document
+    array carried through the explode (that would copy the token array
+    once per (token, offset), O(T²·w) bytes for a T-token document) and
+    never a doc-id-only join (skewed by the longest document). Left side
+    is 2·window rows per token, join key (doc, position) is uniformly
+    distributed, then ONE map-side-combinable groupBy(center, context).
+    """
+    tok = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(alpha_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    offsets = F.array(
+        *[F.lit(o) for o in range(-window, window + 1) if o != 0]
+    )
+    centers = tok.select(
+        "_doc", "pos", F.col("tok").alias("center"), F.explode(offsets).alias("off")
+    ).select("_doc", F.col("center"), (F.col("pos") + F.col("off")).alias("cpos"))
+    ctx = tok.select(
+        "_doc", F.col("pos").alias("cpos"), F.col("tok").alias("context")
+    )
+    out = (
+        centers.join(ctx, ["_doc", "cpos"])
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_pairs") >= min_count)
+    return out

@@ -576,3 +576,19 @@ def test_link_prediction_metrics_hand_computed(spark):
     assert m.mrr == round((1 + 1 / 3 + 1) / 3, 6)
     assert m.hits_at_1 == round(2 / 3, 6)
     assert m.hits_at_3 == 1.0
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    """t11 semantics pinned: window ±1 over 'a b c b' gives exactly the
+    adjacent pairs with multiplicity; edges of the document truncate; a
+    second doc's tokens never pair across documents."""
+    from knowledgegraphs_spark.operators.text_analysis import skipgram_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c b"), (2, "z")], "doc_id long, text string"
+    )
+    got = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(df, window=1).collect()
+    }
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 2, ("c", "b"): 2}
