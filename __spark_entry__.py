@@ -615,6 +615,83 @@ SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node
 """.strip()
 
 
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G31 (engine extension): deterministic random walks over the
+    supplier–part interaction graph (the same undirected edge set as
+    g28/g29) — the DeepWalk/node2vec corpus-generation step of a
+    graph-embedding pipeline. 3 walks × 4 steps from each seed supplier
+    (``l_suppkey % 10 = 1``); next hop = md5-fold(walk|step|node) mod
+    degree over the sorted neighbor list, so the oracle reproduces every
+    pick exactly (one unrolled CTE block per step, the g12 pattern).
+    See ``graph_analytics.random_walks`` for the scale shape."""
+    from knowledgegraphs_spark.operators.graph_analytics import random_walks
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("u"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("v"),
+    ).distinct()
+    edges = pairs.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionByName(
+        pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    starts = (
+        li.filter(F.col("l_suppkey") % 10 == 1)
+        .select(F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("node"))
+        .distinct()
+    )
+    return random_walks(edges, starts, walk_length=3, n_walks=3)
+
+
+_G31_FOLD = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(list_filter("
+    "regexp_split_to_array(substr(md5({x}), 1, 12), ''), c -> c <> ''),"
+    " c -> CAST(ascii(c) - CASE WHEN ascii(c) >= 97 THEN 87 ELSE 48 END AS BIGINT))),"
+    " (acc, v) -> acc * 16 + v)"
+)
+
+
+def _g31_sql() -> str:
+    steps = []
+    prev = "w0"
+    for t in (1, 2, 3):
+        fold = _G31_FOLD.format(x=f"w.walk_id || '|{t}|' || w.cur")
+        steps.append(
+            f"""s{t} AS (
+  SELECT w.walk_id, a.dst AS cur
+  FROM {prev} w
+  JOIN deg ON deg.src = w.cur
+  JOIN adj a ON a.src = w.cur AND a.idx = {fold} % deg.d
+)"""
+        )
+        prev = f"s{t}"
+    blocks = ",\n".join(steps)
+    selects = ["SELECT walk_id, 0 AS step, cur AS node FROM w0"] + [
+        f"SELECT walk_id, {t} AS step, cur AS node FROM s{t}" for t in (1, 2, 3)
+    ]
+    union = "\nUNION ALL ".join(selects)
+    return f"""
+WITH pairs AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS u,
+                  'P' || CAST(l_partkey AS VARCHAR) AS v
+  FROM lineitem
+), edges AS (
+  SELECT u AS src, v AS dst FROM pairs UNION SELECT v AS src, u AS dst FROM pairs
+), adj AS (
+  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM edges
+), deg AS (
+  SELECT src, count(*) AS d FROM edges GROUP BY src
+), starts AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS node
+  FROM lineitem WHERE l_suppkey % 10 = 1
+), w0 AS (
+  SELECT node || '#' || CAST(w AS VARCHAR) AS walk_id, node AS cur
+  FROM starts, (SELECT unnest([1, 2, 3]) AS w)
+),
+{blocks}
+{union}
+""".strip()
+
+
 def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S13 + Turtle SOURCE through the oracle gate: serialize a
     nation-derived triple set with the distributed Turtle sink
@@ -4491,6 +4568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g27_entity_communities": q_entity_communities,
         "g28_supplier_part_kcore": q_supplier_part_kcore,
         "g29_supplier_part_hops": q_supplier_part_hops,
+        "g31_random_walks": q_random_walks,
         "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
@@ -4600,6 +4678,7 @@ def oracle_sql() -> dict[str, str]:
         "g27_entity_communities": _lpa_sql(),
         "g28_supplier_part_kcore": _kcore_sql(),
         "g29_supplier_part_hops": _G29_SQL,
+        "g31_random_walks": _g31_sql(),
         "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,

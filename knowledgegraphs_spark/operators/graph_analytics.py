@@ -403,3 +403,100 @@ def bfs_hops_py(
             dist[n] = h
         frontier = nxt
     return dist
+
+
+def _md5_fold(col):
+    """Fold the first 12 hex chars of md5(col) into a non-negative long —
+    the deterministic pseudo-randomness primitive shared with the
+    negative sampler (m7) and its DuckDB twin (same hex-digit fold, so
+    the oracle reproduces every pick bit-for-bit)."""
+    hexval = lambda c: F.ascii(c) - F.when(F.ascii(c) >= 97, F.lit(87)).otherwise(F.lit(48))  # noqa: E731
+    return F.aggregate(
+        F.filter(F.split(F.substring(F.md5(col), 1, 12), ""), lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 16 + hexval(c),
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    starts: DataFrame,
+    walk_length: int = 3,
+    n_walks: int = 2,
+) -> DataFrame:
+    """Deterministic random walks — the DeepWalk/node2vec corpus
+    generation step of a graph-embedding pipeline: ``n_walks`` walks of
+    ``walk_length`` steps from every start node, the next hop at step t
+    chosen by ``md5_fold(walk_id | t | current) % degree(current)`` over
+    the neighbor list indexed in sorted order (hash-derived choice =
+    uniform-ish AND bit-reproducible on any engine, so walks are
+    oracle-checkable and restart-stable — a seeded RNG would depend on
+    partitioning).
+
+    ``edges`` is the directed adjacency (callers union both directions
+    for undirected graphs); ``starts`` has a ``node`` column. Returns
+    (walk_id, step, node) rows, step 0 = the start node. Walks that
+    reach a node with no out-edges stop early (inner join drops them).
+
+    Scale shape: the neighbor list is indexed ONCE (row_number per src,
+    checkpointed); each step is one vocabulary-scale join against the
+    degree table to compute the pick, then one EQUI-join on
+    (node, pick) against the indexed adjacency — walk-front-sized
+    shuffles, never edge-sized, and no hub-skew (the adjacency join key
+    includes the neighbor index, so a hub's rows spread over the hash
+    space). ``localCheckpoint`` per step keeps the plan flat, the same
+    discipline as ``pagerank``.
+    """
+    from pyspark.sql import Window
+
+    uniq = edges.select("src", "dst").distinct()
+    adj = (
+        uniq.withColumn(
+            "idx",
+            F.row_number().over(Window.partitionBy("src").orderBy("dst")).cast("long")
+            - 1,
+        )
+        .select(
+            F.col("src").alias("asrc"),
+            F.col("dst").alias("adst"),
+            F.col("idx").alias("aidx"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    deg = adj.groupBy(F.col("asrc").alias("dsrc")).agg(F.count(F.lit(1)).alias("deg"))
+
+    walks = (
+        starts.select("node")
+        .distinct()
+        .select(
+            "node",
+            F.explode(F.array(*[F.lit(i) for i in range(1, n_walks + 1)])).alias("w"),
+        )
+        .select(
+            F.concat_ws("#", "node", F.col("w").cast("string")).alias("walk_id"),
+            F.col("node").alias("cur"),
+        )
+    )
+    out = walks.select("walk_id", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    cur = walks
+    for t in range(1, walk_length + 1):
+        picked = cur.join(deg, F.col("cur") == F.col("dsrc")).select(
+            "walk_id",
+            "cur",
+            (
+                _md5_fold(F.concat_ws("|", F.col("walk_id"), F.lit(str(t)), F.col("cur")))
+                % F.col("deg")
+            ).alias("pick"),
+        )
+        cur = (
+            picked.join(
+                adj,
+                (F.col("cur") == F.col("asrc")) & (F.col("pick") == F.col("aidx")),
+            )
+            .select("walk_id", F.col("adst").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            cur.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("node"))
+        )
+    return out

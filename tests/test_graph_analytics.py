@@ -223,3 +223,36 @@ def test_bfs_hops_early_exit_and_directedness(spark):
     both = edges + [(d, s) for s, d in edges]
     got_u = {r.node: r.hops for r in bfs_hops(_df(spark, both), seeds, max_hops=5).collect()}
     assert got_u == {"a": 0, "b": 1, "x": 1, "c": 2}
+
+
+def test_random_walks_structure_and_determinism(spark):
+    """g31 machinery: every walk starts at its seed, every consecutive
+    (node, next) is a real edge, every walk has exactly walk_length+1
+    steps on a graph with no dead ends, n_walks walks per seed, and the
+    whole output is bit-stable across runs."""
+    from knowledgegraphs_spark.operators.graph_analytics import random_walks
+    from pyspark.sql import functions as F
+
+    # undirected triangle + a pendant: a-b, b-c, c-a, c-d
+    und = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")]
+    edges = spark.createDataFrame(
+        und + [(v, u) for u, v in und], "src string, dst string"
+    )
+    starts = spark.createDataFrame([("a",), ("b",)], "node string")
+    out = random_walks(edges, starts, walk_length=4, n_walks=2)
+    rows = sorted((r.walk_id, r.step, r.node) for r in out.collect())
+
+    walks = {}
+    for wid, step, node in rows:
+        walks.setdefault(wid, {})[step] = node
+    assert set(walks) == {"a#1", "a#2", "b#1", "b#2"}
+    edge_set = {(u, v) for u, v in und} | {(v, u) for u, v in und}
+    for wid, path in walks.items():
+        assert len(path) == 5 and path[0] == wid.split("#")[0]
+        for t in range(4):
+            assert (path[t], path[t + 1]) in edge_set, (wid, t, path)
+    again = sorted(
+        (r.walk_id, r.step, r.node)
+        for r in random_walks(edges, starts, walk_length=4, n_walks=2).collect()
+    )
+    assert again == rows
