@@ -4316,6 +4316,45 @@ FROM ranked WHERE cand = obj
 """.strip()
 
 
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 (engine extension): frequency-balanced embedding-table shard
+    assignment — the parameter-server placement step downstream of m7's
+    entity indexing. Entity access frequency = orders per customer
+    (zero-order customers included via left join); shards = 8 by
+    frequency-ranked round-robin. One vocabulary-scale ranking window;
+    see ``training_filters.frequency_balanced_shards``."""
+    from knowledgegraphs_spark.operators.training_filters import (
+        frequency_balanced_shards,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    freqs = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy(
+            F.concat(F.lit("kg:Customer_"), F.col("c_custkey").cast("string")).alias(
+                "ent"
+            )
+        )
+        .agg(F.count("o_orderkey").alias("freq"))
+    )
+    return frequency_balanced_shards(freqs, n_shards=8)
+
+
+_M9_SQL = """
+WITH freqs AS (
+  SELECT 'kg:Customer_' || CAST(c.c_custkey AS VARCHAR) AS ent,
+         CAST(count(o.o_orderkey) AS BIGINT) AS freq
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1
+)
+SELECT ent, freq,
+       CAST(row_number() OVER (ORDER BY freq DESC, ent) AS BIGINT) AS rank,
+       CAST((row_number() OVER (ORDER BY freq DESC, ent) - 1) % 8 AS INT) AS shard
+FROM freqs
+""".strip()
+
+
 def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T11 (engine extension): skip-gram (center, context) pair counts
     with a ±2 position window — the word2vec/SGNS training-pair
@@ -4602,6 +4641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m7_negative_samples": q_negative_samples,
         "m8_ranking_metrics": q_ranking_metrics,
         "t11_skipgram_pairs": q_skipgram_pairs,
+        "m9_shard_plan": q_shard_plan,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4712,6 +4752,7 @@ def oracle_sql() -> dict[str, str]:
         "m7_negative_samples": _M7_SQL,
         "m8_ranking_metrics": _M8_SQL,
         "t11_skipgram_pairs": _T11_SQL,
+        "m9_shard_plan": _M9_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

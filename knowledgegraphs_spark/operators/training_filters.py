@@ -316,3 +316,35 @@ def mixture_upsample(
         )
         .select("id", "stratum", F.col("epoch").cast("long").alias("epoch"))
     )
+
+
+def frequency_balanced_shards(
+    freqs: DataFrame,
+    n_shards: int,
+    ent_col: str = "ent",
+    freq_col: str = "freq",
+) -> DataFrame:
+    """Embedding-table shard assignment for distributed training — the
+    parameter-server placement step after entity indexing (m7): spread
+    entities over ``n_shards`` so each shard carries a near-equal share
+    of total access frequency. Greedy bin-packing is inherently
+    sequential; the distributed-and-deterministic equivalent is
+    frequency-ranked round-robin (rank entities by descending frequency,
+    shard = rank mod n_shards) — the heaviest n_shards entities land on
+    distinct shards, and within any window of n_shards consecutive ranks
+    every shard receives exactly one entity, bounding the load gap by
+    one entity per rank-window (the classic LPT-style guarantee).
+
+    Returns one row per entity: (ent, freq, rank, shard). Scale shape:
+    one global ranking window — vocabulary-scale by definition (the
+    embedding table must fit the training cluster), never corpus-scale;
+    ties broken by the entity key so the plan is bit-stable.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc(freq_col), F.asc(ent_col))
+    return (
+        freqs.select(ent_col, freq_col)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("shard", ((F.col("rank") - 1) % n_shards).cast("int"))
+    )

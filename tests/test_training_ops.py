@@ -592,3 +592,33 @@ def test_skipgram_pairs_hand_computed(spark):
         for r in skipgram_pairs(df, window=1).collect()
     }
     assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 2, ("c", "b"): 2}
+
+
+def test_frequency_balanced_shards_balance_property(spark):
+    """m9 machinery: the heaviest n_shards entities land on distinct
+    shards, every shard gets floor/ceil(n/k) entities, and on a Zipf-ish
+    frequency fixture the round-robin load gap stays far below the
+    single-heaviest-entity weight (the failure mode of hash-sharding)."""
+    from knowledgegraphs_spark.operators.training_filters import (
+        frequency_balanced_shards,
+    )
+
+    rows = [(f"e{i:03d}", 10_000 // (i + 1)) for i in range(100)]
+    df = spark.createDataFrame(rows, "ent string, freq long")
+    out = frequency_balanced_shards(df, n_shards=4).collect()
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert [r.shard for r in by_rank[:4]] == [0, 1, 2, 3]
+    from collections import Counter
+
+    n_per = Counter(r.shard for r in out)
+    assert set(n_per.values()) == {25}
+    load = Counter()
+    for r in out:
+        load[r.shard] += r.freq
+    gap = max(load.values()) - min(load.values())
+    # provable round-robin bound: per rank-window gaps telescope to
+    # f_max - f_min (hash-sharding has no such bound — one hot shard can
+    # carry ALL heavy entities)
+    assert gap <= 10_000 - 100, dict(load)
+    # shard 0 takes the head of every window, so it must be the heaviest
+    assert max(load, key=load.get) == 0
