@@ -692,6 +692,49 @@ WITH pairs AS (
 """.strip()
 
 
+def q_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G32 (engine extension): structural entity similarity — Jaccard of
+    supplier part-neighborhoods on the supplier–part graph, the
+    graph-context evidence entity resolution combines with string (j5)
+    and embedding (d5) signals. Hub parts (shared by > 40 suppliers) are
+    dropped from all neighborhoods first — the df-pruning contract that
+    bounds the pair blow-up at scale; Jaccard is exact over the filtered
+    graph. See ``graph_analytics.neighborhood_jaccard``."""
+    from knowledgegraphs_spark.operators.graph_analytics import neighborhood_jaccard
+
+    li = _t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
+    )
+    return neighborhood_jaccard(edges, threshold=0.16, hub_cap=40)
+
+
+_G32_SQL = """
+WITH e AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS src,
+                  'P' || CAST(l_partkey AS VARCHAR) AS dst
+  FROM lineitem
+), nbr_deg AS (
+  SELECT dst, count(*) AS nd FROM e GROUP BY dst
+), kept AS (
+  SELECT e.src, e.dst FROM e JOIN nbr_deg USING (dst) WHERE nd <= 40
+), deg AS (
+  SELECT src, count(*) AS d FROM kept GROUP BY src
+), common AS (
+  SELECT a.src AS node_a, b.src AS node_b, count(*) AS n_common
+  FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT node_a, node_b, n_common,
+       round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6) AS jaccard
+FROM common
+JOIN deg da ON da.src = node_a
+JOIN deg db ON db.src = node_b
+WHERE round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6) >= 0.16
+""".strip()
+
+
 def q_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S13 + Turtle SOURCE through the oracle gate: serialize a
     nation-derived triple set with the distributed Turtle sink
@@ -4608,6 +4651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g28_supplier_part_kcore": q_supplier_part_kcore,
         "g29_supplier_part_hops": q_supplier_part_hops,
         "g31_random_walks": q_random_walks,
+        "g32_neighborhood_jaccard": q_neighborhood_jaccard,
         "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
@@ -4719,6 +4763,7 @@ def oracle_sql() -> dict[str, str]:
         "g28_supplier_part_kcore": _kcore_sql(),
         "g29_supplier_part_hops": _G29_SQL,
         "g31_random_walks": _g31_sql(),
+        "g32_neighborhood_jaccard": _G32_SQL,
         "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,

@@ -500,3 +500,54 @@ def random_walks(
             cur.select("walk_id", F.lit(t).alias("step"), F.col("cur").alias("node"))
         )
     return out
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    threshold: float = 0.25,
+    hub_cap: int = 1000,
+) -> DataFrame:
+    """Structural entity similarity — Jaccard of neighbor sets, the
+    graph-context signal entity resolution combines with string
+    (``similarity.py``) and embedding (``simsearch.py``) evidence: two
+    nodes whose neighborhoods overlap heavily are merge candidates even
+    when their labels don't match.
+
+    Contract: neighbors shared by more than ``hub_cap`` nodes are
+    dropped from ALL neighborhoods first (post-filter degrees too), then
+    Jaccard is EXACT over the filtered graph. That's the same
+    df-pruning contract as n-gram dedup (``dedup.ngram_jaccard_pairs``):
+    a hub neighbor contributes pairs quadratically while carrying no
+    discriminative signal, and capping it bounds the self-join blow-up
+    at C(hub_cap, 2) per neighbor — the property that survives a 100-TB
+    graph. Returns (node_a, node_b, n_common, jaccard) with node_a <
+    node_b and jaccard rounded to 6 decimals.
+    """
+    e = edges.select("src", "dst").distinct()
+    nbr_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("nd"))
+    kept = e.join(nbr_deg.where(F.col("nd") <= hub_cap), "dst").select("src", "dst")
+    deg = kept.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    a = kept.select(F.col("dst"), F.col("src").alias("node_a"))
+    b = kept.select(F.col("dst"), F.col("src").alias("node_b"))
+    common = (
+        a.join(b, "dst")
+        .where(F.col("node_a") < F.col("node_b"))
+        .groupBy("node_a", "node_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("src").alias("node_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("node_b"), F.col("d").alias("db"))
+    return (
+        common.join(da, "node_a")
+        .join(db, "node_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("node_a", "node_b", "n_common", "jaccard")
+    )

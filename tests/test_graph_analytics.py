@@ -256,3 +256,35 @@ def test_random_walks_structure_and_determinism(spark):
         for r in random_walks(edges, starts, walk_length=4, n_walks=2).collect()
     )
     assert again == rows
+
+
+def test_neighborhood_jaccard_hand_computed(spark):
+    """g32 machinery on a fixture: exact Jaccard values, node_a<node_b
+    canonical order, and the hub-cap contract (a neighbor shared by more
+    nodes than the cap vanishes from every neighborhood AND from the
+    degrees before Jaccard is computed)."""
+    from knowledgegraphs_spark.operators.graph_analytics import neighborhood_jaccard
+
+    # x,y share {p1,p2} of x:{p1,p2,p3} y:{p1,p2,p4} -> 2/4 = 0.5
+    # z:{p3} overlaps x on p3 -> 1/3; hub h touches everyone
+    edges = [
+        ("x", "p1"), ("x", "p2"), ("x", "p3"),
+        ("y", "p1"), ("y", "p2"), ("y", "p4"),
+        ("z", "p3"),
+        ("x", "h"), ("y", "h"), ("z", "h"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in neighborhood_jaccard(df, threshold=0.0, hub_cap=2).collect()
+    }
+    # hub h (3 owners > cap 2) contributes nothing — else (x,z) would be 2/4
+    assert got == {("x", "y"): (2, 0.5), ("x", "z"): (1, round(1 / 3, 6))}
+    # with the cap admitting h, it counts everywhere
+    got2 = {
+        (r.node_a, r.node_b): (r.n_common, r.jaccard)
+        for r in neighborhood_jaccard(df, threshold=0.0, hub_cap=10).collect()
+    }
+    # x:{p1,p2,p3,h} y:{p1,p2,p4,h} -> 3/5; x,z:{p3,h} -> 2/4; y,z:{h} -> 1/5
+    assert got2[("x", "y")] == (3, 0.6) and got2[("x", "z")] == (2, 0.5)
+    assert got2[("y", "z")] == (1, 0.2)
