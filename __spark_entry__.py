@@ -1484,6 +1484,42 @@ SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """.strip()
 
 
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12 (engine extension): leakage-free train/val split — the split
+    decision hashes the duplicate-CLUSTER id (d6's connected components
+    over MinHash-LSH pairs), never the document id, so a near-dup family
+    can never straddle the boundary (the doc-id-split failure mode that
+    inflates eval numbers). val_frac=0.2 via the same md5-threshold
+    convention as t8. See ``training_filters.leakage_free_split``."""
+    from knowledgegraphs_spark.operators.training_filters import leakage_free_split
+
+    return leakage_free_split(q_dedup_clusters(spark, sf_dir), val_frac=0.2)
+
+
+def _t12_sql() -> str:
+    """d6's recursive-CTE cluster twin wrapped with the hash-threshold
+    split — the oracle re-derives clustering AND split end-to-end."""
+    thr = format(int(0.2 * 2**32), "08x")
+    return f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_sql(16, 4)}
+), e2 AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e2.dst, r.lbl FROM e2 JOIN reach r ON e2.src = r.node
+), clusters AS (
+  SELECT node AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8) < '{thr}'
+            THEN 'val' ELSE 'train' END AS split
+FROM clusters
+""".strip()
+
+
 def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 20 vectors as queries."""
     from knowledgegraphs_spark.operators.simsearch import brute_force_topk
@@ -4686,6 +4722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_ranking_metrics": q_ranking_metrics,
         "t11_skipgram_pairs": q_skipgram_pairs,
         "m9_shard_plan": q_shard_plan,
+        "t12_leakage_free_split": q_leakage_free_split,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4798,6 +4835,7 @@ def oracle_sql() -> dict[str, str]:
         "m8_ranking_metrics": _M8_SQL,
         "t11_skipgram_pairs": _T11_SQL,
         "m9_shard_plan": _M9_SQL,
+        "t12_leakage_free_split": _t12_sql(),
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

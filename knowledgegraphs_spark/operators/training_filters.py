@@ -348,3 +348,35 @@ def frequency_balanced_shards(
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn("shard", ((F.col("rank") - 1) % n_shards).cast("int"))
     )
+
+
+def leakage_free_split(
+    clustered: DataFrame,
+    val_frac: float = 0.2,
+    id_col: str = "doc_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Train/validation split that cannot leak near-duplicates across
+    the boundary: the split decision is a deterministic hash threshold
+    on the duplicate-CLUSTER id (``dedup`` d6's connected components),
+    not the document id — every member of a near-dup family lands on
+    the same side by construction, the failure mode a doc-id split has
+    (one duplicate in train, its twin in val → inflated eval).
+
+    Same engine-agnostic md5-threshold convention as
+    ``mixture_upsample``: val iff the first 8 hex chars of
+    md5(cluster_id) sort below floor(val_frac·2³²) in hex — a pure
+    codegen'd projection, zero additional shuffle on top of the
+    clustering. Expected (not exact) val mass is val_frac, by cluster.
+    """
+    thr = format(int(val_frac * 2**32), "08x")
+    return clustered.select(
+        id_col,
+        cluster_col,
+        F.when(
+            F.substring(F.md5(F.col(cluster_col).cast("string")), 1, 8) < F.lit(thr),
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

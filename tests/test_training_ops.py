@@ -622,3 +622,24 @@ def test_frequency_balanced_shards_balance_property(spark):
     assert gap <= 10_000 - 100, dict(load)
     # shard 0 takes the head of every window, so it must be the heaviest
     assert max(load, key=load.get) == 0
+
+
+def test_leakage_free_split_keeps_clusters_together(spark):
+    """t12 invariant: every duplicate cluster lands wholly in one split;
+    the split is deterministic; both splits are non-empty on a fixture
+    with many singleton clusters."""
+    from knowledgegraphs_spark.operators.training_filters import leakage_free_split
+
+    rows = [(i, i // 3 * 3) for i in range(300)]  # clusters of 3
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = leakage_free_split(df, val_frac=0.3).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())  # no straddling
+    splits = {r.split for r in out}
+    assert splits == {"train", "val"}
+    n_val = sum(1 for r in out if r.split == "val")
+    assert 0.15 < n_val / len(out) < 0.45  # ~val_frac in expectation
+    again = {(r.doc_id, r.split) for r in leakage_free_split(df, val_frac=0.3).collect()}
+    assert again == {(r.doc_id, r.split) for r in out}
