@@ -4395,6 +4395,72 @@ FROM ranked WHERE cand = obj
 """.strip()
 
 
+def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10 (engine extension): Count-Min frequency sketch, point-queried
+    for the corpus's 15 most frequent tokens — the mergeable
+    heavy-hitter primitive next to a9's HLL (vocabulary construction,
+    stopword discovery, skew detection at 100 TB without an exact
+    corpus-wide count). Contract family = md5 fold (relational in the
+    oracle); the xxhash64 production family is pytest-twinned, the same
+    d2/d2b split. Output carries exact count AND estimate so the
+    overcount ≥ 0 invariant is value-gated. See ``sketches.cm_registers``."""
+    from knowledgegraphs_spark.operators.sketches import cm_estimate, cm_registers
+    from knowledgegraphs_spark.operators.text_analysis import alpha_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(alpha_tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = (
+        exact.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("true_cnt"), F.asc("tok")))
+        )
+        .where(F.col("rn") <= 15)
+        .drop("rn")
+    )
+    regs = cm_registers(toks, "tok", depth=4, width=512, family="md5")
+    est = cm_estimate(regs, probes, col="tok", depth=4, width=512, family="md5")
+    return probes.join(est, "tok").select(
+        "tok", "true_cnt", "est_cnt",
+        (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+    )
+
+
+_A10_FOLD = (
+    "list_reduce(list_prepend(0::BIGINT, list_transform(list_filter("
+    "regexp_split_to_array(substr(md5({x}), 1, 12), ''), c -> c <> ''),"
+    " c -> CAST(ascii(c) - CASE WHEN ascii(c) >= 97 THEN 87 ELSE 48 END AS BIGINT))),"
+    " (acc, v) -> acc * 16 + v)"
+)
+
+_A10_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok
+  FROM documents
+), exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt FROM toks GROUP BY tok
+), probes AS (
+  SELECT tok, true_cnt FROM (
+    SELECT tok, true_cnt, row_number() OVER (ORDER BY true_cnt DESC, tok) AS rn FROM exact
+  ) WHERE rn <= 15
+), regs AS (
+  SELECT d, CAST({_A10_FOLD.format(x="CAST(d AS VARCHAR) || '|' || tok")} % 512 AS INT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM toks, (SELECT unnest([0, 1, 2, 3]) AS d)
+  GROUP BY 1, 2
+), pb AS (
+  SELECT p.tok, dd.d,
+         CAST({_A10_FOLD.format(x="CAST(dd.d AS VARCHAR) || '|' || p.tok")} % 512 AS INT) AS bucket
+  FROM probes p, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+), est AS (
+  SELECT pb.tok, min(coalesce(r.cnt, 0)) AS est_cnt
+  FROM pb LEFT JOIN regs r ON r.d = pb.d AND r.bucket = pb.bucket
+  GROUP BY 1
+)
+SELECT p.tok, p.true_cnt, e.est_cnt, e.est_cnt - p.true_cnt AS overcount
+FROM probes p JOIN est e USING (tok)
+""".strip()
+
+
 def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9 (engine extension): frequency-balanced embedding-table shard
     assignment — the parameter-server placement step downstream of m7's
@@ -4723,6 +4789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_skipgram_pairs": q_skipgram_pairs,
         "m9_shard_plan": q_shard_plan,
         "t12_leakage_free_split": q_leakage_free_split,
+        "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4836,6 +4903,7 @@ def oracle_sql() -> dict[str, str]:
         "t11_skipgram_pairs": _T11_SQL,
         "m9_shard_plan": _M9_SQL,
         "t12_leakage_free_split": _t12_sql(),
+        "a10_countmin_heavy_hitters": _A10_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

@@ -123,3 +123,93 @@ def hll_estimate_py(regs: dict[int, int], p: int = 6) -> float:
     if raw <= 2.5 * m and v > 0:
         return round(m * math.log(m / v), 4)
     return round(raw, 4)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+
+def _cm_bucket(d_col, val_col, width: int, family: str):
+    """Per-depth bucket assignment. ``xxhash64`` is the production family
+    (JVM codegen'd, one hash op); ``md5`` is the oracle family — the same
+    hex fold the negative sampler (m7) and random walks (g31) use, bit-
+    reproducible in ANSI SQL. The two families are interchangeable by
+    contract (only bucket placement differs, never estimate semantics)."""
+    if family == "xxhash64":
+        return F.pmod(F.xxhash64(d_col, val_col), F.lit(width))
+    if family != "md5":
+        raise ValueError(f"unknown family {family!r}")
+    hexval = lambda c: F.ascii(c) - F.when(F.ascii(c) >= 97, F.lit(87)).otherwise(F.lit(48))  # noqa: E731
+    fold = F.aggregate(
+        F.filter(
+            F.split(
+                F.substring(
+                    F.md5(F.concat_ws("|", d_col.cast("string"), val_col)), 1, 12
+                ),
+                "",
+            ),
+            lambda c: c != "",
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc * 16 + hexval(c),
+    )
+    return fold % width
+
+
+def cm_registers(
+    df: DataFrame, col: str, depth: int = 4, width: int = 512, family: str = "md5"
+) -> DataFrame:
+    """Build the Count-Min counter relation ``(d int, bucket int, cnt
+    long)`` over ``df[col]`` (nulls skipped) — the frequency-estimation
+    twin of :func:`hll_registers` (Cormode & Muthukrishnan 2005). Like
+    the HLL registers, the state is a FIRST-CLASS relation: sketches from
+    different jobs merge with ``groupBy(d, bucket).sum`` (:func:`cm_merge`)
+    and every path is value-checkable. One projection (depth-explode +
+    bucket hash) and one map-side-combinable count — the shuffle carries
+    at most depth×width rows per mapper, independent of input size."""
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    rows = df.where(F.col(col).isNotNull()).select(F.col(col).alias("_v"), d)
+    return (
+        rows.select("d", _cm_bucket(F.col("d"), F.col("_v"), width, family).cast("int").alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cm_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge Count-Min counter relations built with the same (depth,
+    width, family): counters add."""
+    out = register_dfs[0]
+    for other in register_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cm_estimate(
+    registers: DataFrame,
+    probes: DataFrame,
+    col: str = "tok",
+    depth: int = 4,
+    width: int = 512,
+    family: str = "md5",
+) -> DataFrame:
+    """Point-query the sketch for each probe value: est = min over depths
+    of the probe's counter (absent counter = 0). Count-Min NEVER
+    underestimates — ``est ≥ true`` always, with overcount bounded by
+    collisions (ε·N w.h.p. for width ≥ e/ε). Probe side is query-scale;
+    the join against the depth×width register relation broadcasts."""
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    pb = (
+        probes.select(F.col(col).alias("_p"))
+        .distinct()
+        .select("_p", d)
+        .select(
+            "_p", "d",
+            _cm_bucket(F.col("d"), F.col("_p"), width, family).cast("int").alias("bucket"),
+        )
+    )
+    return (
+        pb.join(F.broadcast(registers), ["d", "bucket"], "left")
+        .groupBy(F.col("_p").alias(col))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+    )

@@ -68,3 +68,76 @@ def test_duplicate_insensitive(spark):
     r1 = {r.bucket: r.max_rank for r in hll_registers(ones, "s", 6).collect()}
     r2 = {r.bucket: r.max_rank for r in hll_registers(manys, "s", 6).collect()}
     assert r1 == r2
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+# ---------------------------------------------------------------------------
+
+
+def test_cm_never_underestimates_both_families(spark):
+    """The Count-Min contract: est >= true for EVERY queried value, in
+    both hash families, and exact (overcount 0) when width >> distincts."""
+    from knowledgegraphs_spark.operators.sketches import cm_estimate, cm_registers
+    from pyspark.sql import functions as F
+
+    rows = [(f"tok{i % 37}",) for i in range(2000)]  # Zipf-free but skewed mod
+    df = spark.createDataFrame(rows, "tok string")
+    true = {r.tok: r.c for r in df.groupBy("tok").agg(F.count("*").alias("c")).collect()}
+    probes = df.select("tok").distinct()
+    for family in ("md5", "xxhash64"):
+        # narrow sketch: collisions expected, never an underestimate
+        regs = cm_registers(df, "tok", depth=4, width=16, family=family)
+        est = {r.tok: r.est_cnt for r in cm_estimate(regs, probes, depth=4, width=16, family=family).collect()}
+        assert all(est[t] >= c for t, c in true.items()), family
+        # wide sketch: 37 distincts in 4x2048 counters -> exact w.h.p.
+        regs2 = cm_registers(df, "tok", depth=4, width=2048, family=family)
+        est2 = {r.tok: r.est_cnt for r in cm_estimate(regs2, probes, depth=4, width=2048, family=family).collect()}
+        assert est2 == true, family
+
+
+def test_cm_merge_equals_build_on_union(spark):
+    """Mergeability — the property that makes the sketch shippable
+    across jobs: summing two partial register relations must equal the
+    registers built over the concatenated input."""
+    from knowledgegraphs_spark.operators.sketches import cm_merge, cm_registers
+
+    a = spark.createDataFrame([(f"a{i % 11}",) for i in range(500)], "tok string")
+    b = spark.createDataFrame([(f"a{i % 7}",) for i in range(300)], "tok string")
+    merged = {
+        (r.d, r.bucket): r.cnt
+        for r in cm_merge(
+            cm_registers(a, "tok", 4, 64), cm_registers(b, "tok", 4, 64)
+        ).collect()
+    }
+    whole = {
+        (r.d, r.bucket): r.cnt
+        for r in cm_registers(a.unionByName(b), "tok", 4, 64).collect()
+    }
+    assert merged == whole
+
+
+def test_cm_xxhash64_family_matches_python_twin(spark):
+    """The production family's bucket placement equals the independent
+    pure-Python XXH64 twin (same salt convention as MinHash: the depth
+    literal is hashed ahead of the value)."""
+    from knowledgegraphs_spark.functions.xxh64_twin import spark_xxhash64_twin
+    from knowledgegraphs_spark.operators.sketches import _cm_bucket
+    from pyspark.sql import functions as F
+
+    texts = ["alpha", "beta", "unicode café", "x" * 40, ""]
+    df = spark.createDataFrame([(t,) for t in texts], "tok string")
+    width = 512
+    for d in range(3):
+        got = {
+            r.tok: r.b
+            for r in df.select(
+                "tok",
+                _cm_bucket(F.lit(d), F.col("tok"), width, "xxhash64").alias("b"),
+            ).collect()
+        }
+        for t in texts:
+            h = spark_xxhash64_twin(d, t)
+            # F.pmod on the SIGNED 64-bit value; twin returns unsigned
+            signed = h - (1 << 64) if h >= (1 << 63) else h
+            assert got[t] == signed % width, (d, t)
