@@ -4395,6 +4395,41 @@ FROM ranked WHERE cand = obj
 """.strip()
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13 (engine extension): corpus-bigram LM quality scoring — the
+    sequence-level signal t9's unigram model is blind to (shuffled text
+    has corpus-typical tokens but atypical transitions). Adjacent pairs
+    via the skip-gram (doc, pos+1) equi-join; MLE needs no smoothing
+    because the model trains on the scored corpus itself. See
+    ``text_analysis.bigram_logprob``."""
+    from knowledgegraphs_spark.operators.text_analysis import bigram_logprob
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_logprob(docs)
+
+
+_T13_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> ''), 1) AS pos
+  FROM documents
+), bigrams AS (
+  SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+), cb AS (
+  SELECT w1, w2, count(*) AS cb FROM bigrams GROUP BY 1, 2
+), cc AS (
+  SELECT w1, count(*) AS cc FROM bigrams GROUP BY 1
+)
+SELECT g.doc_id,
+       round(avg(ln(CAST(cb.cb AS DOUBLE) / cc.cc)), 6) AS logprob,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bigrams g JOIN cb ON g.w1 = cb.w1 AND g.w2 = cb.w2 JOIN cc ON g.w1 = cc.w1
+GROUP BY g.doc_id
+""".strip()
+
+
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 (engine extension): Count-Min frequency sketch, point-queried
     for the corpus's 15 most frequent tokens — the mergeable
@@ -4790,6 +4825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m9_shard_plan": q_shard_plan,
         "t12_leakage_free_split": q_leakage_free_split,
         "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
+        "t13_bigram_logprob": q_bigram_logprob,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4904,6 +4940,7 @@ def oracle_sql() -> dict[str, str]:
         "m9_shard_plan": _M9_SQL,
         "t12_leakage_free_split": _t12_sql(),
         "a10_countmin_heavy_hitters": _A10_SQL,
+        "t13_bigram_logprob": _T13_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

@@ -274,3 +274,47 @@ def skipgram_pairs(
     if min_count > 1:
         out = out.where(F.col("n_pairs") >= min_count)
     return out
+
+
+def bigram_logprob(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Corpus-bigram language-model scoring — the sequence-level upgrade
+    of :func:`unigram_logprob`: per-doc mean of log P(w_i | w_{i-1})
+    under the bigram MLE trained on the corpus itself in the same job.
+    Catches word-salad documents whose TOKENS are corpus-typical but
+    whose TRANSITIONS are not (shuffled text scores exactly like real
+    text under a unigram model — the unigram blind spot). No smoothing
+    needed: every scored bigram appears in training by construction
+    (same trick as the unigram scorer), so MLE probabilities are always
+    positive. Returns ``(id_col, logprob double, n_bigrams long)``; docs
+    with fewer than two alphabetic tokens are absent.
+
+    Scale shape: one posexplode pass builds the position relation
+    (checkpointed — consumed by both sides of the successor join);
+    adjacent pairs come from an EQUI-join on (doc, pos+1) — the
+    skip-gram join shape, uniformly distributed, never a doc-id-only
+    skew join; bigram and context counts are map-side-combinable
+    vocabulary²-scale aggregates; scoring is one join + per-doc average.
+    """
+    pos = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.posexplode(alpha_tokens(F.col(text_col))).alias("pos", "tok"),
+    ).localCheckpoint(eager=True)
+    nxt = pos.select(
+        "_doc", (F.col("pos") - 1).alias("pos"), F.col("tok").alias("tok2")
+    )
+    bigrams = pos.join(nxt, ["_doc", "pos"]).select(
+        "_doc", F.col("tok").alias("w1"), F.col("tok2").alias("w2")
+    ).localCheckpoint(eager=True)
+    cb = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    cc = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cc"))
+    return (
+        bigrams.join(cb, ["w1", "w2"])
+        .join(cc, "w1")
+        .groupBy(F.col("_doc").alias(id_col))
+        .agg(
+            F.round(F.avg(F.log(F.col("cb") / F.col("cc"))), 6).alias("logprob"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        )
+    )

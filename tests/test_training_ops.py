@@ -643,3 +643,48 @@ def test_leakage_free_split_keeps_clusters_together(spark):
     assert 0.15 < n_val / len(out) < 0.45  # ~val_frac in expectation
     again = {(r.doc_id, r.split) for r in leakage_free_split(df, val_frac=0.3).collect()}
     assert again == {(r.doc_id, r.split) for r in out}
+
+
+def test_bigram_logprob_catches_shuffled_text(spark):
+    """t13's reason to exist: a document whose tokens are corpus-typical
+    but whose TRANSITIONS are shuffled scores below the intact ones
+    under the bigram model, while short docs (<2 tokens) are absent.
+    Hand-check: with three identical docs and one shuffled, the intact
+    docs' transitions have higher conditional probability."""
+    import math
+
+    from knowledgegraphs_spark.operators.text_analysis import bigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "the cat sat on the mat"),
+        (4, "mat the on cat the sat"),  # same unigram profile, shuffled
+        (5, "one"),                      # single token: no bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_logprob(df).collect()}
+    assert 5 not in got
+    assert got[1].n_bigrams == 5
+    assert got[1].logprob == got[2].logprob == got[3].logprob
+    assert got[4].logprob < got[1].logprob
+    # exact value for one transition: P(cat|the) = c(the,cat)/c(the as ctx)
+    # corpus: "the cat"x3, "the mat"... ctx 'the' appears (the,cat)x3,
+    # (the,on)? no — intact: the->cat, cat->sat, sat->on, on->the, the->mat
+    # shuffled: mat->the, the->on, on->cat, cat->the, the->sat
+    # c(the,*) = 3+3 (intact the->cat,the->mat) + 2 (shuf the->on,the->sat) = 8
+    p_the_cat = 3 / 8
+    assert abs(
+        got[1].logprob
+        - round(
+            (
+                math.log(3 / 8)      # the->cat
+                + math.log(3 / 4)    # cat->sat (cat ctx: 3 intact + 1 shuf)
+                + math.log(3 / 3)    # sat->on
+                + math.log(3 / 4)    # on->the (on ctx: 3 intact + 1 shuf)
+                + math.log(3 / 8)    # the->mat
+            )
+            / 5,
+            6,
+        )
+    ) < 1e-9, (p_the_cat, got[1].logprob)
