@@ -4395,6 +4395,43 @@ FROM ranked WHERE cand = obj
 """.strip()
 
 
+def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 (engine extension): mergeable equi-width histogram sketch,
+    quantile-queried at p50/p90/p99 over per-document alpha-token counts
+    — the third sketch primitive next to HLL (a9, cardinality) and
+    Count-Min (a10, frequency). Integer floor-division bucketing is
+    engine-agnostic by construction; the quantile fan-out is an explode
+    over the ≤32-row cumulative relation, not a theta-join. See
+    ``sketches.hist_registers``/``hist_quantiles``."""
+    from knowledgegraphs_spark.operators.sketches import hist_quantiles, hist_registers
+    from knowledgegraphs_spark.operators.text_analysis import alpha_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    lens = docs.select(F.size(alpha_tokens(F.col("text"))).alias("n_toks"))
+    regs = hist_registers(lens, "n_toks", step=8, nbuckets=32)
+    return hist_quantiles(regs, qs=(0.5, 0.9, 0.99), step=8)
+
+
+_A11_SQL = """
+WITH lens AS (
+  SELECT len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS n_toks
+  FROM documents
+), regs AS (
+  SELECT CAST(least(floor(n_toks / 8), 31) AS INT) AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM lens GROUP BY 1
+), tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM regs),
+cum AS (
+  SELECT bucket, cnt,
+         sum(cnt) OVER (ORDER BY bucket) AS cum,
+         sum(cnt) OVER (ORDER BY bucket) - cnt AS prev
+  FROM regs
+)
+SELECT q, round(8.0 * (bucket + (q * (SELECT t FROM tot) - prev) / cnt), 6) AS est
+FROM cum, (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS q)
+WHERE cum >= q * (SELECT t FROM tot) AND prev < q * (SELECT t FROM tot)
+""".strip()
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T13 (engine extension): corpus-bigram LM quality scoring — the
     sequence-level signal t9's unigram model is blind to (shuffled text
@@ -4826,6 +4863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_leakage_free_split": q_leakage_free_split,
         "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
         "t13_bigram_logprob": q_bigram_logprob,
+        "a11_hist_quantile_sketch": q_hist_quantile_sketch,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4941,6 +4979,7 @@ def oracle_sql() -> dict[str, str]:
         "t12_leakage_free_split": _t12_sql(),
         "a10_countmin_heavy_hitters": _A10_SQL,
         "t13_bigram_logprob": _T13_SQL,
+        "a11_hist_quantile_sketch": _A11_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

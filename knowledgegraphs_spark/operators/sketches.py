@@ -213,3 +213,72 @@ def cm_estimate(
         .groupBy(F.col("_p").alias(col))
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram sketch: mergeable quantile estimation
+# ---------------------------------------------------------------------------
+
+def hist_registers(
+    df: DataFrame, col: str, step: int = 8, nbuckets: int = 32
+) -> DataFrame:
+    """Build the histogram relation ``(bucket int, cnt long)`` over a
+    non-negative numeric column: bucket = floor(value/step), clamped to
+    the last bucket — the third mergeable sketch next to HLL
+    (cardinality) and Count-Min (frequency), answering QUANTILE queries
+    with rank error bounded by one bucket's mass. Fixed, data-independent
+    boundaries are what make it mergeable (``groupBy(bucket).sum``) and
+    engine-agnostic (integer floor-division — no float bucketing drift);
+    the price vs GK/t-digest is a fixed value range, the right trade
+    when the metric is bounded by construction (token counts, document
+    lengths). One projection + one map-side-combinable count; shuffle
+    bounded by nbuckets rows per mapper."""
+    b = F.least(F.floor(F.col(col) / step).cast("int"), F.lit(nbuckets - 1))
+    return (
+        df.where(F.col(col).isNotNull())
+        .groupBy(b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*register_dfs: DataFrame) -> DataFrame:
+    """Merge histogram relations built with the same (step, nbuckets)."""
+    out = register_dfs[0]
+    for other in register_dfs[1:]:
+        out = out.unionByName(other)
+    return out.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    registers: DataFrame, qs=(0.5, 0.9, 0.99), step: int = 8
+) -> DataFrame:
+    """Estimate quantiles from the histogram: for each q, find the
+    bucket where the cumulative count crosses q·N and interpolate
+    linearly inside it. Returns ``(q double, est double)``, rounded to
+    6 decimals. The quantile fan-out is an EXPLODE of the literal q
+    array over the (≤ nbuckets)-row cumulative relation — a projection,
+    not a theta-join, so the plan stays nested-loop-free. N comes from
+    one aggregate over the sketch relation (sketch-scale by
+    definition, the driver-twin discipline)."""
+    from pyspark.sql import Window
+
+    total = registers.agg(F.sum("cnt").alias("t")).first()["t"]
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    r = (
+        registers.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("prev", F.col("cum") - F.col("cnt"))
+        .select(
+            "bucket", "cnt", "cum", "prev",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+        )
+    )
+    target = F.col("q") * F.lit(float(total))
+    hit = r.where((F.col("cum") >= target) & (F.col("prev") < target))
+    return hit.select(
+        "q",
+        F.round(
+            F.lit(float(step))
+            * (F.col("bucket") + (target - F.col("prev")) / F.col("cnt")),
+            6,
+        ).alias("est"),
+    )

@@ -141,3 +141,41 @@ def test_cm_xxhash64_family_matches_python_twin(spark):
             # F.pmod on the SIGNED 64-bit value; twin returns unsigned
             signed = h - (1 << 64) if h >= (1 << 63) else h
             assert got[t] == signed % width, (d, t)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+
+def test_hist_quantiles_bounded_rank_error_and_merge(spark):
+    """a11: estimates land within one bucket-width of the exact
+    quantiles on a known distribution; merge == build-on-union; the
+    clamp bucket absorbs overflow values."""
+    from knowledgegraphs_spark.operators.sketches import (
+        hist_merge,
+        hist_quantiles,
+        hist_registers,
+    )
+
+    # values 0..999 uniformly: exact p50=499.5, p90=899.1
+    df = spark.createDataFrame([(i,) for i in range(1000)], "v long")
+    regs = hist_registers(df, "v", step=50, nbuckets=32)
+    est = {r.q: r.est for r in hist_quantiles(regs, qs=(0.5, 0.9), step=50).collect()}
+    assert abs(est[0.5] - 500.0) <= 50 and abs(est[0.9] - 900.0) <= 50, est
+
+    a = spark.createDataFrame([(i,) for i in range(0, 500)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(500, 1000)], "v long")
+    merged = {
+        (r.bucket, r.cnt)
+        for r in hist_merge(
+            hist_registers(a, "v", 50, 32), hist_registers(b, "v", 50, 32)
+        ).collect()
+    }
+    whole = {(r.bucket, r.cnt) for r in regs.collect()}
+    assert merged == whole
+
+    # clamp: values beyond step*nbuckets all land in the last bucket
+    big = spark.createDataFrame([(10_000,), (99_999,)], "v long")
+    clamped = hist_registers(big, "v", step=50, nbuckets=32).collect()
+    assert [(r.bucket, r.cnt) for r in clamped] == [(31, 2)]
