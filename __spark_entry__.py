@@ -4395,6 +4395,39 @@ FROM ranked WHERE cand = obj
 """.strip()
 
 
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 (engine extension): exact-substring duplication profile — the
+    span-level contamination signal document-level dedup (d1–d6) cannot
+    see (Lee et al. 2022). Per document: the fraction of 5-gram
+    positions whose 5-gram repeats anywhere in the corpus. See
+    ``dedup.duplicated_span_fraction``."""
+    from knowledgegraphs_spark.operators.dedup import duplicated_span_fraction
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_span_fraction(docs, n=5)
+
+
+_D7_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS toks
+  FROM documents
+), pos AS (
+  SELECT doc_id,
+         array_to_string(toks[i : i + 4], ' ') AS gram
+  FROM base, (SELECT unnest(generate_series(1, len(toks) - 4)) AS i)
+), cnts AS (
+  SELECT gram, count(*) AS gcnt FROM pos GROUP BY gram
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_positions,
+       CAST(sum(CASE WHEN c.gcnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_positions,
+       round(CAST(sum(CASE WHEN c.gcnt >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_fraction
+FROM pos p JOIN cnts c USING (gram)
+GROUP BY p.doc_id
+""".strip()
+
+
 def q_hist_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11 (engine extension): mergeable equi-width histogram sketch,
     quantile-queried at p50/p90/p99 over per-document alpha-token counts
@@ -4864,6 +4897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
         "t13_bigram_logprob": q_bigram_logprob,
         "a11_hist_quantile_sketch": q_hist_quantile_sketch,
+        "d7_duplicated_spans": q_duplicated_spans,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -4980,6 +5014,7 @@ def oracle_sql() -> dict[str, str]:
         "a10_countmin_heavy_hitters": _A10_SQL,
         "t13_bigram_logprob": _T13_SQL,
         "a11_hist_quantile_sketch": _A11_SQL,
+        "d7_duplicated_spans": _D7_SQL,
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

@@ -321,3 +321,55 @@ def simhash_candidates(
         .select("p.id_a", "p.id_b", "p.hamming_distance")
         .dropDuplicates()
     )
+
+
+def duplicated_span_fraction(
+    docs: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication profile — per document, the fraction
+    of n-gram positions whose n-gram occurs MORE THAN ONCE in the whole
+    corpus (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better": span-level contamination that document-level dedup
+    (d1–d6) cannot see — boilerplate headers, quoted passages, licence
+    blocks shared across otherwise-distinct documents, and within-doc
+    repetition all count). Returns ``(id_col, n_positions long,
+    n_dup_positions long, dup_fraction double)``; documents shorter than
+    n tokens are absent (no positions).
+
+    Scale shape: the position→n-gram relation is ONE projection (a
+    transform over an index sequence + explode — O(n·T) bytes per
+    document, linear, unlike a token-array self-join); the global n-gram
+    count is a map-side-combinable aggregate whose result is
+    gram-vocabulary-scale; profiling is one shuffle join positions⋈counts
+    plus a per-doc conditional aggregate. The suffix-array formulation of
+    the paper is pointer-chasing-hostile at cluster scale; fixed-n
+    hashed grams is the standard distributed relaxation (what the
+    n-gram-decontamination operator t6 also uses).
+    """
+    from .text_analysis import alpha_tokens
+
+    toks = alpha_tokens(F.col(text_col))
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select(F.col(id_col), F.explode(grams_arr).alias("gram"))
+    cnts = pos.groupBy("gram").agg(F.count(F.lit(1)).alias("gcnt"))
+    return (
+        pos.join(cnts, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_positions"),
+            F.sum((F.col("gcnt") >= 2).cast("long")).alias("n_dup_positions"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_positions") / F.col("n_positions"), 6),
+        )
+    )

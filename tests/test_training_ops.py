@@ -688,3 +688,25 @@ def test_bigram_logprob_catches_shuffled_text(spark):
             6,
         )
     ) < 1e-9, (p_the_cat, got[1].logprob)
+
+
+def test_duplicated_span_fraction_hand_computed(spark):
+    """d7 semantics pinned: a doc sharing its opening 5-gram with
+    another doc counts exactly the shared positions; a fully unique doc
+    scores 0; within-doc repetition counts; < n tokens -> absent."""
+    from knowledgegraphs_spark.operators.dedup import duplicated_span_fraction
+
+    rows = [
+        (1, "a b c d e f"),           # grams: abcde, bcdef
+        (2, "a b c d e x"),           # grams: abcde, bcdex -> shares abcde
+        (3, "p q r s t u"),           # unique
+        (4, "m m m m m m m m m m"),   # within-doc repeated gram
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in duplicated_span_fraction(df, n=5).collect()}
+    assert 5 not in got
+    assert (got[1].n_positions, got[1].n_dup_positions, got[1].dup_fraction) == (2, 1, 0.5)
+    assert (got[2].n_positions, got[2].n_dup_positions) == (2, 1)
+    assert got[3].n_dup_positions == 0 and got[3].dup_fraction == 0.0
+    assert got[4].n_positions == 6 and got[4].dup_fraction == 1.0
