@@ -2359,6 +2359,52 @@ def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ancestor_closure_df(_tree_edges(spark, sf_dir)).select("node", "anc", "depth")
 
 
+def q_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G33 (engine extension): transitive reduction of a subclass DAG —
+    the ontology-maintenance inverse of g3's closure. Input = the g3
+    hierarchy PLUS deterministic shortcut edges (k → floor(k/4) for
+    k % 3 == 0, k ≥ 4): asserted grandparent links of the kind ontology
+    imports accumulate, every one derivable through the tree path and
+    therefore removable. The oracle computes the reduction relationally
+    (recursive closure + the same anti-join), so over- AND under-deletion
+    both break the value hash. See ``ontology.transitive_reduction``."""
+    from knowledgegraphs_spark.operators.ontology import transitive_reduction
+
+    p = _t(spark, sf_dir, "part")
+    shortcuts = p.filter(
+        (F.col("p_partkey") >= 4) & (F.col("p_partkey") % 3 == 0)
+    ).select(
+        F.concat(F.lit("n"), F.col("p_partkey").cast("string")).alias("child"),
+        F.concat(
+            F.lit("n"), F.floor(F.col("p_partkey") / 4).cast("long").cast("string")
+        ).alias("parent"),
+    )
+    edges = _tree_edges(spark, sf_dir).unionByName(shortcuts).distinct()
+    return transitive_reduction(edges)
+
+
+_G33_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT 'n' || cast(p_partkey AS varchar) AS child,
+         'n' || cast(cast(floor(p_partkey / 2) AS BIGINT) AS varchar) AS parent
+  FROM part WHERE p_partkey >= 2
+  UNION
+  SELECT 'n' || cast(p_partkey AS varchar),
+         'n' || cast(cast(floor(p_partkey / 4) AS BIGINT) AS varchar)
+  FROM part WHERE p_partkey >= 4 AND p_partkey % 3 = 0
+), closure AS (
+  SELECT child AS node, parent AS anc FROM edges
+  UNION
+  SELECT c.node, e.parent FROM closure c JOIN edges e ON c.anc = e.child
+), redundant AS (
+  SELECT DISTINCT h.child, t.anc AS parent
+  FROM edges h JOIN closure t ON t.node = h.parent
+)
+SELECT e.child, e.parent
+FROM edges e ANTI JOIN redundant r ON e.child = r.child AND e.parent = r.parent
+""".strip()
+
+
 _CLOSURE_CTE = """
 edges AS (
   SELECT 'n' || cast(p_partkey AS varchar) AS child,
@@ -4859,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g29_supplier_part_hops": q_supplier_part_hops,
         "g31_random_walks": q_random_walks,
         "g32_neighborhood_jaccard": q_neighborhood_jaccard,
+        "g33_transitive_reduction": q_transitive_reduction,
         "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
@@ -4976,6 +5023,7 @@ def oracle_sql() -> dict[str, str]:
         "g29_supplier_part_hops": _G29_SQL,
         "g31_random_walks": _g31_sql(),
         "g32_neighborhood_jaccard": _G32_SQL,
+        "g33_transitive_reduction": _G33_SQL,
         "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,

@@ -779,3 +779,31 @@ def flag_pii(
         .agg(F.array_sort(F.collect_set("pii_class")).alias("pii_classes"))
         .withColumn("is_personal", F.size("pii_classes") > 0)
     )
+
+
+def transitive_reduction(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """Transitive REDUCTION of a DAG — the ontology-maintenance inverse
+    of :func:`ancestor_closure_df`: drop every subclass edge already
+    implied by a longer path (u→v is redundant iff some direct child
+    w of u reaches v), leaving the minimal edge set with the same
+    closure. Imported ontologies accumulate exactly these shortcuts
+    (asserted ancestor links that later imports make derivable — the
+    FIBO-style hierarchy noise ``collapse`` handles at the CLASS level,
+    handled here at the EDGE level; on a DAG the reduction is unique).
+
+    ``edges(child, parent)``. Returns the kept (child, parent) rows.
+    Scale shape: one closure build (⌈log₂ D⌉ pointer-doubling rounds),
+    then a single edges⋈edges⋈closure redundancy probe expressed as a
+    LEFT ANTI join — no per-edge path search, everything equi-keyed.
+    """
+    closure = ancestor_closure_df(edges, max_iters=max_iters)
+    hop = edges.select(F.col("child").alias("u"), F.col("parent").alias("w"))
+    tail = closure.select(F.col("node").alias("w"), F.col("anc").alias("v"))
+    redundant = (
+        hop.join(tail, "w")
+        .select(F.col("u").alias("child"), F.col("v").alias("parent"))
+        .distinct()
+    )
+    return edges.select("child", "parent").join(
+        redundant, ["child", "parent"], "left_anti"
+    )

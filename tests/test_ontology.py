@@ -250,3 +250,31 @@ def test_j6_df_twin_accepts_hierarchical_domains(spark):
     df = find_nary_paths(obj_df, cls_df, data_df, closure_df, ["src"])
     got = {(r.obj_cand, r.cls_cand, r.data_cand) for r in df.collect()}
     assert got == py_paths
+
+
+def test_transitive_reduction_removes_only_implied_edges(spark):
+    """g33: the asserted shortcut a->c vanishes (implied via a->b->c),
+    diamond edges all survive (no single alternative PATH implies them),
+    and the reduced graph's closure equals the original's."""
+    from knowledgegraphs_spark.operators.ontology import (
+        ancestor_closure_df,
+        transitive_reduction,
+    )
+
+    # chain a->b->c with shortcut a->c; diamond d->e, d->f, e->g, f->g
+    edges = [
+        ("a", "b"), ("b", "c"), ("a", "c"),
+        ("d", "e"), ("d", "f"), ("e", "g"), ("f", "g"),
+    ]
+    df = spark.createDataFrame(edges, "child string, parent string")
+    kept = {(r.child, r.parent) for r in transitive_reduction(df).collect()}
+    assert kept == {("a", "b"), ("b", "c"), ("d", "e"), ("d", "f"), ("e", "g"), ("f", "g")}
+    before = {
+        (r.node, r.anc) for r in ancestor_closure_df(df).select("node", "anc").collect()
+    }
+    reduced_df = spark.createDataFrame(sorted(kept), "child string, parent string")
+    after = {
+        (r.node, r.anc)
+        for r in ancestor_closure_df(reduced_df).select("node", "anc").collect()
+    }
+    assert before == after
