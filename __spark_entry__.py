@@ -2359,6 +2359,52 @@ def q_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ancestor_closure_df(_tree_edges(spark, sf_dir)).select("node", "anc", "depth")
 
 
+def q_phonetic_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 (engine extension): phonetic blocking for entity matching —
+    Soundex of each part name's head token as the block key, the classic
+    cheap recall-oriented blocker next to the IDF (J4) and LSH (d2)
+    blockers: it catches misspelled/mis-heard name variants exact and
+    token blockers miss. ``F.soundex`` is JVM codegen'd (zero-shuffle
+    projection); the per-block size comes from one map-side-combinable
+    count joined back. DuckDB ships no Soundex, so the oracle inlines the
+    pure-Python twin (``naming.soundex_py``, pytest-pinned equal to
+    ``F.soundex``) over the head-token vocabulary as VALUES at SQL-build
+    time — the d2b pattern."""
+    parts = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.element_at(F.split(F.col("p_name"), " "), 1).alias("tok")
+    )
+    keyed = parts.withColumn("sx", F.soundex(F.upper(F.col("tok"))))
+    sizes = keyed.groupBy("sx").agg(F.count(F.lit(1)).alias("block_size"))
+    return keyed.join(sizes, "sx").select("p_partkey", "tok", "sx", "block_size")
+
+
+def _x17_sql() -> str:
+    import duckdb
+
+    from knowledgegraphs_spark.functions.naming import soundex_py
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    toks = duckdb.sql(
+        f"SELECT DISTINCT split_part(p_name, ' ', 1) AS tok"
+        f" FROM read_parquet('{sf_dir}/part.parquet')"
+    ).fetchall()
+    vals = ", ".join(
+        f"('{t}', '{soundex_py(t)}')" for (t,) in sorted(toks) if t
+    )
+    return f"""
+WITH m(tok, sx) AS (SELECT * FROM (VALUES {vals})),
+p AS (
+  SELECT p_partkey, split_part(p_name, ' ', 1) AS tok FROM part
+), keyed AS (
+  SELECT p.p_partkey, p.tok, m.sx FROM p JOIN m USING (tok)
+), sizes AS (
+  SELECT sx, CAST(count(*) AS BIGINT) AS block_size FROM keyed GROUP BY sx
+)
+SELECT k.p_partkey, k.tok, k.sx, s.block_size
+FROM keyed k JOIN sizes s USING (sx)
+""".strip()
+
+
 def q_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G33 (engine extension): transitive reduction of a subclass DAG —
     the ontology-maintenance inverse of g3's closure. Input = the g3
@@ -4936,6 +4982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t9_unigram_logprob": q_unigram_logprob,
         "a9_hll_token_sketch": q_hll_token_sketch,
         "x16_tfidf_keywords": q_tfidf_keywords,
+        "x17_phonetic_blocks": q_phonetic_blocks,
         "m7_negative_samples": q_negative_samples,
         "m8_ranking_metrics": q_ranking_metrics,
         "t11_skipgram_pairs": q_skipgram_pairs,
@@ -5054,6 +5101,7 @@ def oracle_sql() -> dict[str, str]:
         "t9_unigram_logprob": _T9_SQL,
         "a9_hll_token_sketch": _a9_sql(),
         "x16_tfidf_keywords": _X16_SQL,
+        "x17_phonetic_blocks": _x17_sql(),
         "m7_negative_samples": _M7_SQL,
         "m8_ranking_metrics": _M8_SQL,
         "t11_skipgram_pairs": _T11_SQL,

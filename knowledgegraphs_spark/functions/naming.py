@@ -101,3 +101,31 @@ def local_name_col(c: Column) -> Column:
     return F.coalesce(
         F.nullif(F.regexp_extract(c, r"[/#]([^/#]+)$", 1), F.lit("")), c
     )
+
+
+def soundex_py(s: str | None) -> str | None:
+    """Pure-Python twin of Spark's JVM ``F.soundex`` (American Soundex,
+    the Commons-codec variant: H/W are transparent — they neither emit
+    nor reset the previous code). Used to build the x17 oracle's
+    vocabulary mapping at SQL-build time (the d2b pattern) and pinned
+    against ``F.soundex`` hash-by-hash in pytest."""
+    if not s:
+        return None
+    letters = [c for c in s.upper() if c.isalpha()]
+    if not letters:
+        return None
+    codes = {
+        **{c: "1" for c in "BFPV"}, **{c: "2" for c in "CGJKQSXZ"},
+        **{c: "3" for c in "DT"}, "L": "4", **{c: "5" for c in "MN"}, "R": "6",
+    }
+    out = letters[0]
+    prev = codes.get(letters[0], "")
+    for c in letters[1:]:
+        code = codes.get(c, "")
+        if code and code != prev:
+            out += code
+        if c not in "HW":
+            prev = code
+        if len(out) == 4:
+            break
+    return (out + "000")[:4]

@@ -710,3 +710,23 @@ def test_duplicated_span_fraction_hand_computed(spark):
     assert (got[2].n_positions, got[2].n_dup_positions) == (2, 1)
     assert got[3].n_dup_positions == 0 and got[3].dup_fraction == 0.0
     assert got[4].n_positions == 6 and got[4].dup_fraction == 1.0
+
+
+def test_soundex_twin_matches_spark_on_generated_words(spark):
+    """x17's oracle depends on the pure-Python Soundex twin equaling the
+    JVM F.soundex — pinned over a generated word list crossing the
+    tricky cases (H/W transparency, doubled letters, vowel resets,
+    short codes, all-vowel tails)."""
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.functions.naming import soundex_py
+
+    words = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak", "Pfister",
+        "Honeyman", "aaaaa", "bcdl", "Wu", "HW", "lemon", "blush",
+        "midnight", "Czarkowska", "Schmidt", "Schneider",
+    ] + [f"w{i}x{chr(97 + i % 26)}" for i in range(30)]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r.w: r.sx for r in df.select("w", F.soundex(F.upper(F.col("w"))).alias("sx")).collect()}
+    for w in words:
+        assert got[w] == soundex_py(w), (w, got[w], soundex_py(w))
