@@ -615,6 +615,67 @@ SELECT node, CAST(min(hops) AS INT) AS hops FROM reach GROUP BY node
 """.strip()
 
 
+def q_weighted_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G34 (engine extension): hop-bounded weighted shortest distance
+    (Bellman-Ford, 4 rounds) over the supplier–part graph, edge weight =
+    min lineitem quantity of the pair — cost-bounded context extraction,
+    the weighted sibling of g29's BFS. The oracle unrolls one
+    min-aggregated block per round (the g12 pattern) — a plain recursive
+    CTE would enumerate every ≤4-hop path (combinatorial), the exact
+    blow-up the engine's per-round min avoids. See
+    ``graph_analytics.weighted_hops``."""
+    from knowledgegraphs_spark.operators.graph_analytics import weighted_hops
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = li.groupBy(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("u"),
+        F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("v"),
+    ).agg(F.min(F.col("l_quantity").cast("long")).alias("w"))
+    edges = pairs.select(
+        F.col("u").alias("src"), F.col("v").alias("dst"), "w"
+    ).unionByName(pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"), "w"))
+    seeds = (
+        li.filter(F.col("l_suppkey") % 50 == 1)
+        .select(F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("node"))
+        .distinct()
+    )
+    return weighted_hops(edges, seeds, rounds=4)
+
+
+def _g34_sql() -> str:
+    blocks = []
+    prev = "d0"
+    for r in (1, 2, 3, 4):
+        blocks.append(
+            f"""d{r} AS (
+  SELECT node, min(dist) AS dist FROM (
+    SELECT node, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, p.dist + e.w AS dist
+    FROM {prev} p JOIN edges e ON e.src = p.node
+  ) GROUP BY node
+)"""
+        )
+        prev = f"d{r}"
+    joined = ",\n".join(blocks)
+    return f"""
+WITH pairs AS (
+  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS u,
+         'P' || CAST(l_partkey AS VARCHAR) AS v,
+         min(CAST(l_quantity AS BIGINT)) AS w
+  FROM lineitem GROUP BY 1, 2
+), edges AS (
+  SELECT u AS src, v AS dst, w FROM pairs
+  UNION ALL SELECT v, u, w FROM pairs
+), d0 AS (
+  SELECT DISTINCT 'S' || CAST(l_suppkey AS VARCHAR) AS node, CAST(0 AS BIGINT) AS dist
+  FROM lineitem WHERE l_suppkey % 50 = 1
+),
+{joined}
+SELECT node, dist FROM d4
+""".strip()
+
+
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G31 (engine extension): deterministic random walks over the
     supplier–part interaction graph (the same undirected edge set as
@@ -4952,6 +5013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g31_random_walks": q_random_walks,
         "g32_neighborhood_jaccard": q_neighborhood_jaccard,
         "g33_transitive_reduction": q_transitive_reduction,
+        "g34_weighted_hops": q_weighted_hops,
         "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
@@ -5071,6 +5133,7 @@ def oracle_sql() -> dict[str, str]:
         "g31_random_walks": _g31_sql(),
         "g32_neighborhood_jaccard": _G32_SQL,
         "g33_transitive_reduction": _G33_SQL,
+        "g34_weighted_hops": _g34_sql(),
         "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,

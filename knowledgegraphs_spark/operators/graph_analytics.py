@@ -551,3 +551,39 @@ def neighborhood_jaccard(
         .where(F.col("jaccard") >= threshold)
         .select("node_a", "node_b", "n_common", "jaccard")
     )
+
+
+def weighted_hops(
+    edges: DataFrame, seeds: DataFrame, rounds: int = 4
+) -> DataFrame:
+    """Hop-bounded weighted shortest distance from a seed set —
+    Bellman-Ford relaxation, the min-plus shape missing from the graph
+    family (bfs_hops is its unweighted special case): after ``rounds``
+    rounds, ``dist(n)`` = the minimum total edge weight over any path of
+    at most ``rounds`` hops from any seed. The KG use is cost-bounded
+    context extraction: pull the subgraph reachable within a relation-
+    cost budget instead of a hop budget.
+
+    ``edges(src, dst, w)`` (long weights), ``seeds(node)``. Returns
+    (node, dist) for every node reached. Scale shape: each round is ONE
+    equi-join of the current distance vector against edges on the source
+    key plus a map-side-combinable ``groupBy(node).min`` — the state
+    stays node-scale every round (never path-enumeration-scale, the
+    blow-up a naive reachability UNION ALL suffers); ``localCheckpoint``
+    per round, the pagerank discipline.
+    """
+    dist = seeds.select("node").distinct().select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    for _ in range(rounds):
+        relax = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist

@@ -288,3 +288,26 @@ def test_neighborhood_jaccard_hand_computed(spark):
     # x:{p1,p2,p3,h} y:{p1,p2,p4,h} -> 3/5; x,z:{p3,h} -> 2/4; y,z:{h} -> 1/5
     assert got2[("x", "y")] == (3, 0.6) and got2[("x", "z")] == (2, 0.5)
     assert got2[("y", "z")] == (1, 0.2)
+
+
+def test_weighted_hops_hand_computed(spark):
+    """g34: relaxation finds the cheaper 2-hop route over the expensive
+    direct edge, respects the hop bound, and leaves unreached nodes
+    absent."""
+    from knowledgegraphs_spark.operators.graph_analytics import weighted_hops
+
+    edges = [
+        ("s", "a", 10), ("s", "b", 1), ("b", "a", 2),   # s->a direct 10, via b 3
+        ("a", "c", 1), ("c", "d", 1), ("d", "e", 1),    # chain past the bound
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w long")
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.node: r.dist for r in weighted_hops(df, seeds, rounds=3).collect()}
+    assert got["s"] == 0 and got["b"] == 1
+    assert got["a"] == 3          # cheaper 2-hop path wins
+    assert got["c"] == 4          # 3 hops: s-b-a-c
+    assert got["d"] == 12         # only the expensive s-a-c-d fits in 3 hops
+    assert "e" not in got         # needs 4 hops
+    # one more round: the cheap route reaches d (s-b-a-c-d), e appears
+    got4 = {r.node: r.dist for r in weighted_hops(df, seeds, rounds=4).collect()}
+    assert got4["d"] == 5 and got4["e"] == 13
