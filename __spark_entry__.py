@@ -754,13 +754,18 @@ WITH pairs AS (
 
 
 def q_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G32 (engine extension): structural entity similarity — Jaccard of
-    supplier part-neighborhoods on the supplier–part graph, the
-    graph-context evidence entity resolution combines with string (j5)
-    and embedding (d5) signals. Hub parts (shared by > 40 suppliers) are
-    dropped from all neighborhoods first — the df-pruning contract that
-    bounds the pair blow-up at scale; Jaccard is exact over the filtered
-    graph. See ``graph_analytics.neighborhood_jaccard``."""
+    """G32 (engine extension): structural entity similarity — each
+    supplier's top-3 most part-neighborhood-similar suppliers by Jaccard
+    on the supplier–part graph, the graph-context evidence entity
+    resolution combines with string (j5) and embedding (d5) signals.
+    Hub parts (shared by > 40 suppliers) are dropped from all
+    neighborhoods first — the df-pruning contract that bounds the pair
+    blow-up at scale; Jaccard is exact over the filtered graph.
+    Selection is RANK-based (top-k per node), not an absolute threshold:
+    a denser graph lowers every pairwise Jaccard, so a fixed cutoff that
+    keeps the top decile at sf0.01 silently keeps nothing at sf0.1
+    (measured) — rank survives any scale. See
+    ``graph_analytics.neighborhood_jaccard``."""
     from knowledgegraphs_spark.operators.graph_analytics import neighborhood_jaccard
 
     li = _t(spark, sf_dir, "lineitem")
@@ -768,7 +773,7 @@ def q_neighborhood_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("src"),
         F.concat(F.lit("P"), F.col("l_partkey").cast("string")).alias("dst"),
     )
-    return neighborhood_jaccard(edges, threshold=0.16, hub_cap=40)
+    return neighborhood_jaccard(edges, hub_cap=40, top_k=3)
 
 
 _G32_SQL = """
@@ -786,13 +791,22 @@ WITH e AS (
   SELECT a.src AS node_a, b.src AS node_b, count(*) AS n_common
   FROM kept a JOIN kept b ON a.dst = b.dst AND a.src < b.src
   GROUP BY 1, 2
+), scored AS (
+  SELECT node_a, node_b, n_common,
+         round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6) AS jaccard
+  FROM common
+  JOIN deg da ON da.src = node_a
+  JOIN deg db ON db.src = node_b
+), sym AS (
+  SELECT node_a AS node, node_b AS nbr, n_common, jaccard FROM scored
+  UNION ALL
+  SELECT node_b, node_a, n_common, jaccard FROM scored
 )
-SELECT node_a, node_b, n_common,
-       round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6) AS jaccard
-FROM common
-JOIN deg da ON da.src = node_a
-JOIN deg db ON db.src = node_b
-WHERE round(CAST(n_common AS DOUBLE) / (da.d + db.d - n_common), 6) >= 0.16
+SELECT node, nbr, n_common, jaccard, rank FROM (
+  SELECT node, nbr, n_common, jaccard,
+         CAST(row_number() OVER (PARTITION BY node ORDER BY jaccard DESC, nbr) AS INT) AS rank
+  FROM sym
+) WHERE rank <= 3
 """.strip()
 
 

@@ -506,6 +506,7 @@ def neighborhood_jaccard(
     edges: DataFrame,
     threshold: float = 0.25,
     hub_cap: int = 1000,
+    top_k: int | None = None,
 ) -> DataFrame:
     """Structural entity similarity — Jaccard of neighbor sets, the
     graph-context signal entity resolution combines with string
@@ -522,7 +523,15 @@ def neighborhood_jaccard(
     at C(hub_cap, 2) per neighbor — the property that survives a 100-TB
     graph. Returns (node_a, node_b, n_common, jaccard) with node_a <
     node_b and jaccard rounded to 6 decimals.
-    """
+
+    With ``top_k`` set, returns instead each node's k most similar
+    neighbors as (node, nbr, n_common, jaccard, rank) — ABSOLUTE
+    thresholds don't survive scale (a denser graph lowers every pairwise
+    Jaccard, silently emptying the result; measured: the 0.16 cutoff
+    that keeps the top decile at sf0.01 keeps NOTHING at sf0.1), while
+    rank-based selection is scale-adaptive and is the shape ER candidate
+    generation consumes anyway. The ranking window partitions by node —
+    candidate-list-sized groups, one extra shuffle."""
     e = edges.select("src", "dst").distinct()
     nbr_deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("nd"))
     kept = e.join(nbr_deg.where(F.col("nd") <= hub_cap), "dst").select("src", "dst")
@@ -537,7 +546,7 @@ def neighborhood_jaccard(
     )
     da = deg.select(F.col("src").alias("node_a"), F.col("d").alias("da"))
     db = deg.select(F.col("src").alias("node_b"), F.col("d").alias("db"))
-    return (
+    scored = (
         common.join(da, "node_a")
         .join(db, "node_b")
         .withColumn(
@@ -548,8 +557,27 @@ def neighborhood_jaccard(
                 6,
             ),
         )
-        .where(F.col("jaccard") >= threshold)
-        .select("node_a", "node_b", "n_common", "jaccard")
+    )
+    if top_k is None:
+        return scored.where(F.col("jaccard") >= threshold).select(
+            "node_a", "node_b", "n_common", "jaccard"
+        )
+    from pyspark.sql import Window
+
+    sym = scored.select(
+        F.col("node_a").alias("node"), F.col("node_b").alias("nbr"),
+        "n_common", "jaccard",
+    ).unionByName(
+        scored.select(
+            F.col("node_b").alias("node"), F.col("node_a").alias("nbr"),
+            "n_common", "jaccard",
+        )
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("jaccard"), F.asc("nbr"))
+    return (
+        sym.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_k)
+        .select("node", "nbr", "n_common", "jaccard", "rank")
     )
 
 

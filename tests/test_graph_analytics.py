@@ -311,3 +311,26 @@ def test_weighted_hops_hand_computed(spark):
     # one more round: the cheap route reaches d (s-b-a-c-d), e appears
     got4 = {r.node: r.dist for r in weighted_hops(df, seeds, rounds=4).collect()}
     assert got4["d"] == 5 and got4["e"] == 13
+
+
+def test_neighborhood_jaccard_topk_mode(spark):
+    """g32 rank mode: top_k returns per-node ranked neighbors, both
+    directions of each pair, deterministic tie-break, non-empty on a
+    graph where any absolute threshold would be scale-fragile."""
+    from knowledgegraphs_spark.operators.graph_analytics import neighborhood_jaccard
+
+    edges = [
+        ("x", "p1"), ("x", "p2"), ("x", "p3"),
+        ("y", "p1"), ("y", "p2"), ("y", "p4"),
+        ("z", "p3"), ("z", "p5"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        (r.node, r.rank): (r.nbr, r.jaccard)
+        for r in neighborhood_jaccard(df, hub_cap=10, top_k=2).collect()
+    }
+    # x: y (2/4=0.5) then z (1/4=0.25); y sees only x; z sees only x
+    assert got[("x", 1)] == ("y", 0.5) and got[("x", 2)] == ("z", 0.25)
+    assert got[("y", 1)] == ("x", 0.5)
+    assert got[("z", 1)] == ("x", 0.25)
+    assert ("y", 2) not in got  # y,z share no parts
