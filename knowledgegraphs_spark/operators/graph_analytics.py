@@ -600,6 +600,10 @@ def weighted_hops(
     blow-up a naive reachability UNION ALL suffers); ``localCheckpoint``
     per round, the pagerank discipline.
     """
+    # materialize the (possibly derived) edge relation ONCE — each round's
+    # relax join would otherwise recompute its whole upstream plan (no
+    # cross-round CSE), the same discipline as pagerank's `ed`
+    edges = edges.select("src", "dst", "w").localCheckpoint(eager=True)
     dist = seeds.select("node").distinct().select(
         "node", F.lit(0).cast("long").alias("dist")
     )
