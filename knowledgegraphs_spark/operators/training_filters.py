@@ -355,6 +355,7 @@ def leakage_free_split(
     val_frac: float = 0.2,
     id_col: str = "doc_id",
     cluster_col: str = "cluster_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Train/validation split that cannot leak near-duplicates across
     the boundary: the split decision is a deterministic hash threshold
@@ -373,6 +374,7 @@ def leakage_free_split(
     return clustered.select(
         id_col,
         cluster_col,
+        *keep_cols,
         F.when(
             F.substring(F.md5(F.col(cluster_col).cast("string")), 1, 8) < F.lit(thr),
             F.lit("val"),
