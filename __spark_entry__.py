@@ -4667,6 +4667,33 @@ GROUP BY g.doc_id
 """.strip()
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14 (engine extension): per-document Shannon character entropy —
+    the model-free repetitiveness signal (no corpus statistics; each doc
+    scores alone, the cheapest quality filter to run first at 100 TB).
+    See ``text_analysis.char_entropy``."""
+    from knowledgegraphs_spark.operators.text_analysis import char_entropy
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return char_entropy(docs)
+
+
+_T14_SQL = """
+WITH chars AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, ''), c -> c <> '')) AS ch
+  FROM documents
+), per_char AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY doc_id, ch
+), with_n AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n FROM per_char
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_chars,
+       round(greatest(sum(-(CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 0.0), 6) AS entropy
+FROM with_n GROUP BY doc_id
+""".strip()
+
+
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 (engine extension): Count-Min frequency sketch, point-queried
     for the corpus's 15 most frequent tokens — the mergeable
@@ -5066,6 +5093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_leakage_free_split": q_leakage_free_split,
         "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
         "t13_bigram_logprob": q_bigram_logprob,
+        "t14_char_entropy": q_char_entropy,
         "a11_hist_quantile_sketch": q_hist_quantile_sketch,
         "d7_duplicated_spans": q_duplicated_spans,
         "t10_length_quantiles": q_length_quantiles,
@@ -5186,6 +5214,7 @@ def oracle_sql() -> dict[str, str]:
         "t12_leakage_free_split": _t12_sql(),
         "a10_countmin_heavy_hitters": _A10_SQL,
         "t13_bigram_logprob": _T13_SQL,
+        "t14_char_entropy": _T14_SQL,
         "a11_hist_quantile_sketch": _A11_SQL,
         "d7_duplicated_spans": _D7_SQL,
         "t10_length_quantiles": _T10_SQL,

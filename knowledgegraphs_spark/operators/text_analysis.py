@@ -318,3 +318,44 @@ def bigram_logprob(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         )
     )
+
+
+
+def char_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Shannon entropy of the character distribution per document — the
+    model-free repetitiveness signal quality pipelines run alongside the
+    LM scores (t9/t13): keyboard-mash and boilerplate runs score low,
+    natural prose sits in a narrow band, and the signal needs no corpus
+    statistics at all (each doc scores alone — embarrassingly parallel,
+    the cheapest filter to run first at 100 TB). Returns ``(id_col,
+    n_chars long, entropy double)`` in nats, rounded to 6 decimals;
+    empty documents are absent. ``greatest(·, 0.0)`` clamps accumulated
+    floating-point epsilon AND the ``-0.0`` a single-character alphabet
+    would otherwise produce (p=1 → -1·0 = -0.0, which can hash
+    differently from 0.0 across engines).
+
+    Scale shape: one character explode (linear in corpus bytes, the
+    same shape as the token explode), one map-side-combinable
+    per-(doc, char) count, one per-doc window sum over
+    alphabet-sized groups, one final per-doc aggregate — no join, no
+    corpus-global state.
+    """
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("ch")
+    ).where(F.col("ch") != "")
+    per_char = chars.groupBy(id_col, "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy(id_col))
+    p = F.col("c") / n
+    return (
+        per_char.withColumn("term", -p * F.log(p))
+        .withColumn("n", n)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").cast("long").alias("n_chars"),
+            F.round(F.greatest(F.sum("term"), F.lit(0.0)), 6).alias("entropy"),
+        )
+    )

@@ -730,3 +730,29 @@ def test_soundex_twin_matches_spark_on_generated_words(spark):
     got = {r.w: r.sx for r in df.select("w", F.soundex(F.upper(F.col("w"))).alias("sx")).collect()}
     for w in words:
         assert got[w] == soundex_py(w), (w, got[w], soundex_py(w))
+
+
+def test_char_entropy_hand_computed(spark):
+    """t14: exact entropy for known distributions — uniform 2-char doc =
+    ln 2, single-char doc = exactly 0.0 (never -0.0), empty doc absent,
+    repetitive text scores below varied text."""
+    import math
+
+    from knowledgegraphs_spark.operators.text_analysis import char_entropy
+
+    rows = [
+        (1, "abab"),         # p(a)=p(b)=0.5 -> ln 2
+        (2, "aaaa"),         # single symbol -> 0.0
+        (3, ""),             # absent
+        (4, "abcdefgh"),     # uniform 8 -> ln 8
+        (5, "aaaaaaab"),     # skewed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert 3 not in got
+    assert got[1].n_chars == 4 and got[1].entropy == round(math.log(2), 6)
+    assert got[2].entropy == 0.0 and math.copysign(1, got[2].entropy) == 1.0
+    assert got[4].entropy == round(math.log(8), 6)
+    skew = -(7 / 8) * math.log(7 / 8) - (1 / 8) * math.log(1 / 8)
+    assert got[5].entropy == round(skew, 6)
+    assert got[2].entropy < got[5].entropy < got[4].entropy
