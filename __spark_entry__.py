@@ -4694,6 +4694,38 @@ FROM with_n GROUP BY doc_id
 """.strip()
 
 
+def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 (engine extension): ChatML training-example assembly — one
+    rendered ``<|im_start|>{role}\\n{text}<|im_end|>\\n`` document per
+    conversation in turn order, plus the whitespace token count that
+    ``pack_documents`` bins by. One conv_id-keyed shuffle, per-group state
+    bounded by the longest conversation; in-group order via array_sort on
+    (turn_idx, piece) structs (turn_idx unique per conv → deterministic
+    under any partitioning). See ``packing.render_chat_template``."""
+    from knowledgegraphs_spark.operators.packing import render_chat_template
+
+    return render_chat_template(_turns_from_events(spark, sf_dir))
+
+
+_T15_SQL = f"""
+{_TURNS_NORM_SQL},
+pieces AS (
+  SELECT conv_id, turn_idx,
+         '<|im_start|>' || coalesce(role, '') || chr(10) || coalesce(text, '')
+           || '<|im_end|>' || chr(10) AS piece
+  FROM turns
+), rendered AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(piece, '' ORDER BY turn_idx) AS text
+  FROM pieces GROUP BY conv_id
+)
+SELECT conv_id, n_turns, text,
+       len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS n_tokens
+FROM rendered
+""".strip()
+
+
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 (engine extension): Count-Min frequency sketch, point-queried
     for the corpus's 15 most frequent tokens — the mergeable
@@ -5094,6 +5126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
         "t13_bigram_logprob": q_bigram_logprob,
         "t14_char_entropy": q_char_entropy,
+        "t15_chat_template": q_chat_template,
         "a11_hist_quantile_sketch": q_hist_quantile_sketch,
         "d7_duplicated_spans": q_duplicated_spans,
         "t10_length_quantiles": q_length_quantiles,
@@ -5215,6 +5248,7 @@ def oracle_sql() -> dict[str, str]:
         "a10_countmin_heavy_hitters": _A10_SQL,
         "t13_bigram_logprob": _T13_SQL,
         "t14_char_entropy": _T14_SQL,
+        "t15_chat_template": _T15_SQL,
         "a11_hist_quantile_sketch": _A11_SQL,
         "d7_duplicated_spans": _D7_SQL,
         "t10_length_quantiles": _T10_SQL,

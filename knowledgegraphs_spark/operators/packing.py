@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .text_analysis import token_count
 
-__all__ = ["pack_documents"]
+__all__ = ["pack_documents", "render_chat_template"]
 
 
 def pack_documents(
@@ -137,4 +137,58 @@ def pack_documents(
         bin_id.alias("bin_id"),
         (F.col("start_offset") % b).alias("bin_offset"),
         (end_bin != bin_id).alias("straddle"),
+    )
+
+
+def render_chat_template(
+    turns: DataFrame,
+    im_start: str = "<|im_start|>",
+    im_end: str = "<|im_end|>",
+) -> DataFrame:
+    """Assemble one ChatML-style training example per conversation.
+
+    SFT pipelines feed the trainer rendered conversations, not turn rows:
+    every turn becomes ``<|im_start|>{role}\\n{text}<|im_end|>\\n`` and a
+    conversation is the concatenation in ``turn_idx`` order. The reference
+    stops at triple emission (it has no training-data stage); this is the
+    engine's training-example assembly step, the last hop before
+    ``pack_documents``.
+
+    Scale shape: ONE shuffle keyed by ``conv_id`` (co-located already when
+    the input came through ``ingest``'s conv_id repartition), per-group
+    state bounded by the longest conversation — never corpus-sized. The
+    in-group ordering is ``array_sort`` over ``(turn_idx, piece)`` structs,
+    not a window: ``turn_idx`` is unique per conversation (the ingest
+    contract), so the render is a pure function of the data under any
+    partitioning.
+
+    Output: ``(conv_id, n_turns, text, n_tokens)`` with ``n_tokens`` the
+    whitespace token count of the rendered text — the number
+    ``pack_documents`` bins by.
+
+    Null-normalized ``role``/``text`` (F1 sentinels) render as empty
+    strings: the turn keeps its slot in the template rather than shifting
+    later turns' rendering.
+    """
+    piece = F.concat(
+        F.lit(im_start),
+        F.coalesce(F.col("role"), F.lit("")),
+        F.lit("\n"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(im_end),
+        F.lit("\n"),
+    )
+    per = turns.select("conv_id", "turn_idx", piece.alias("piece"))
+    agg = per.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("turn_idx", "piece"))),
+                lambda s: s["piece"],
+            ),
+            "",
+        ).alias("text"),
+    )
+    return agg.select(
+        "conv_id", "n_turns", "text", token_count(F.col("text")).alias("n_tokens")
     )

@@ -88,3 +88,43 @@ def test_no_single_partition_window(spark):
     for line in plan.splitlines():
         if "Window" in line and "windowspecdefinition" in line:
             assert "__pid" in line, line
+
+
+def test_render_chat_template_order_and_nulls(spark):
+    from knowledgegraphs_spark.operators.packing import render_chat_template
+
+    # rows deliberately out of turn order; one null role, one null text
+    rows = [
+        ("c1", 1, "assistant", "hi there", None, None),
+        ("c1", 0, "user", "hello", None, None),
+        ("c1", 2, None, "tool output", None, None),
+        ("c2", 0, "user", None, None, None),
+    ]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {r["conv_id"]: r for r in render_chat_template(turns).collect()}
+    assert out["c1"]["n_turns"] == 3
+    assert out["c1"]["text"] == (
+        "<|im_start|>user\nhello<|im_end|>\n"
+        "<|im_start|>assistant\nhi there<|im_end|>\n"
+        "<|im_start|>\ntool output<|im_end|>\n"
+    )
+    # null text renders as an empty slot, keeping the template frame
+    assert out["c2"]["text"] == "<|im_start|>user\n<|im_end|>\n"
+    assert out["c2"]["n_tokens"] == out["c2"]["text"].split().__len__()
+    assert out["c1"]["n_tokens"] == len(out["c1"]["text"].split())
+
+
+def test_render_chat_template_partitioning_invariant(spark):
+    """Pure function of the data: 1-partition and 7-partition layouts
+    render byte-identical conversations."""
+    from knowledgegraphs_spark.operators.packing import render_chat_template
+
+    rows = [(f"c{i % 3}", i // 3, "user", f"msg {i}", None, None) for i in range(30)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    a = sorted((r["conv_id"], r["text"]) for r in render_chat_template(turns.coalesce(1)).collect())
+    b = sorted((r["conv_id"], r["text"]) for r in render_chat_template(turns.repartition(7)).collect())
+    assert a == b
