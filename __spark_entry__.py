@@ -4726,6 +4726,65 @@ FROM rendered
 """.strip()
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T16 (engine extension): distributed BPE merge learning — the
+    tokenizer-training step of an LLM data pipeline, run the way Sennrich
+    et al. train it: one corpus-scale pass builds the word-frequency
+    dictionary, then every iteration is vocabulary-scale (pair explode +
+    map-side-combined groupBy + a ONE-row driver argmax) with the merge
+    applied as a codegen'd aggregate fold. Oracle = pure-Python twin over
+    the same tokenization, inlined as VALUES at oracle-build time (the
+    x17/d2b pattern). See ``operators/bpe.py``."""
+    from knowledgegraphs_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs.select("text"), n_merges=_T16_MERGES)
+
+
+_T16_MERGES = 25
+
+
+def _t16_sql() -> str:
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    texts = duckdb.sql(
+        f"SELECT text FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchall()
+    wc: Counter = Counter()
+    for (t,) in texts:
+        for w in re.split("[^a-z]+", (t or "").lower()):
+            if w:
+                wc[w] += 1
+    words = [[list(w), c] for w, c in sorted(wc.items())]
+    rows = []
+    for k in range(_T16_MERGES):
+        pc: Counter = Counter()
+        for syms, c in words:
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows.append((k, l, r, cnt))
+        for wrec in words:
+            new: list[str] = []
+            for x in wrec[0]:
+                if new and new[-1] == l and x == r:
+                    new[-1] = l + r
+                else:
+                    new.append(x)
+            wrec[0] = new
+    vals = ", ".join(f"({k}, '{l}', '{r}', {c})" for k, l, r, c in rows)
+    return f"""
+SELECT CAST(rank AS INTEGER) AS rank, lhs, rhs, CAST(pair_count AS BIGINT) AS pair_count
+FROM (VALUES {vals}) AS t(rank, lhs, rhs, pair_count)
+""".strip()
+
+
 def q_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A10 (engine extension): Count-Min frequency sketch, point-queried
     for the corpus's 15 most frequent tokens — the mergeable
@@ -5127,6 +5186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_bigram_logprob": q_bigram_logprob,
         "t14_char_entropy": q_char_entropy,
         "t15_chat_template": q_chat_template,
+        "t16_bpe_merges": q_bpe_merges,
         "a11_hist_quantile_sketch": q_hist_quantile_sketch,
         "d7_duplicated_spans": q_duplicated_spans,
         "t10_length_quantiles": q_length_quantiles,
@@ -5249,6 +5309,7 @@ def oracle_sql() -> dict[str, str]:
         "t13_bigram_logprob": _T13_SQL,
         "t14_char_entropy": _T14_SQL,
         "t15_chat_template": _T15_SQL,
+        "t16_bpe_merges": _t16_sql(),
         "a11_hist_quantile_sketch": _A11_SQL,
         "d7_duplicated_spans": _D7_SQL,
         "t10_length_quantiles": _T10_SQL,
