@@ -2480,6 +2480,82 @@ FROM keyed k JOIN sizes s USING (sx)
 """.strip()
 
 
+def q_jaro_winkler_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18 (engine extension): Jaro-Winkler scoring of surname-soundex-
+    blocked entity-surface pairs — the classic ER string comparator
+    (Winkler '90) over the corpus's DISTINCT mention vocabulary ("John
+    Smith" / "Jon Smith" / "J. Smith" variant families), blocked on the
+    Soundex of the last name token (JVM ``F.soundex``, codegen'd) so the
+    Arrow-batched UDF scores vocabulary-scale within-block pairs only —
+    never a corpus cross product (the matching.py distinct-pairs
+    discipline). The oracle's Soundex side is the pytest-pinned
+    pure-Python twin inlined as VALUES, but the SIMILARITY comes from
+    DuckDB's own native ``jaro_winkler_similarity`` — a fully
+    independent second implementation (parity also pinned per-function
+    in pytest over 300 random strings)."""
+    from knowledgegraphs_spark.functions.similarity import jaro_winkler_udf
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES
+
+    ev = _t(spark, sf_dir, "events")
+    idx = (F.col("event_id") * F.lit(2654435761)) % F.lit(len(ENTITY_SURFACES))
+    surface = F.element_at(
+        F.array(*[F.lit(s) for s in ENTITY_SURFACES]), (idx + 1).cast("int")
+    )
+    last_tok = F.regexp_replace(
+        F.element_at(F.split(F.trim(surface), r"\s+"), -1), "[^A-Za-z]", ""
+    )
+    surfaces = (
+        ev.select(surface.alias("surf"), last_tok.alias("lt"))
+        .where(F.col("lt") != "")
+        .distinct()
+        .withColumn("sx", F.soundex(F.upper(F.col("lt"))))
+        .select("surf", "sx")
+    )
+    a, b = surfaces.alias("a"), surfaces.alias("b")
+    pairs = (
+        a.join(b, "sx")
+        .where(F.col("a.surf") < F.col("b.surf"))
+        .select(F.col("a.surf").alias("surf_a"), F.col("b.surf").alias("surf_b"))
+    )
+    scored = pairs.withColumn(
+        "jw", F.round(jaro_winkler_udf(F.col("surf_a"), F.col("surf_b")), 6)
+    )
+    return scored.where(F.col("jw") >= 0.75)
+
+
+def _x18_sql() -> str:
+    import re
+
+    import duckdb
+
+    from knowledgegraphs_spark.functions.naming import soundex_py
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    ids = duckdb.sql(
+        f"SELECT DISTINCT cast((event_id * 2654435761) % {len(ENTITY_SURFACES)} AS int)"
+        f" FROM read_parquet('{sf_dir}/events.parquet')"
+    ).fetchall()
+    rows = []
+    for (i,) in ids:
+        surf = ENTITY_SURFACES[i]
+        lt = re.sub("[^A-Za-z]", "", surf.strip().split()[-1])
+        if lt:
+            rows.append((surf, soundex_py(lt.upper())))
+    vals = ", ".join(
+        f"('{s.replace(chr(39), chr(39) * 2)}', '{sx}')" for s, sx in sorted(set(rows))
+    )
+    return f"""
+WITH m(surf, sx) AS (SELECT * FROM (VALUES {vals})),
+pairs AS (
+  SELECT a.surf AS surf_a, b.surf AS surf_b
+  FROM m a JOIN m b ON a.sx = b.sx AND a.surf < b.surf
+)
+SELECT surf_a, surf_b, round(jaro_winkler_similarity(surf_a, surf_b), 6) AS jw
+FROM pairs WHERE round(jaro_winkler_similarity(surf_a, surf_b), 6) >= 0.75
+""".strip()
+
+
 def q_transitive_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G33 (engine extension): transitive reduction of a subclass DAG —
     the ontology-maintenance inverse of g3's closure. Input = the g3
@@ -4726,6 +4802,77 @@ FROM rendered
 """.strip()
 
 
+def q_entity_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G35 (engine extension): strongly connected components over the
+    per-conversation entity TRANSITION digraph (surface at turn i →
+    surface at turn i+1) — the directed mutual-reachability shape that
+    CC's undirected star-contraction cannot answer (which entity groups
+    does a conversation cycle among, vs merely pass through). FW-BW
+    min-label peeling (diameter-bounded rounds, the Pregel trade — no
+    transitive closure materialized, every intermediate node-vector- or
+    edge-sized), small remainders finished by the threshold-gated
+    driver twin; the
+    ORACLE is the closure (recursive CTE + mutual-pair join), so the
+    comparison proves the closure-free plan equals the textbook
+    definition. See ``graph_analytics.scc``."""
+    from knowledgegraphs_spark.operators.graph_analytics import scc
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES
+
+    ev = _t(spark, sf_dir, "events")
+    idx = (F.col("event_id") * F.lit(2654435761)) % F.lit(len(ENTITY_SURFACES))
+    surface = F.element_at(
+        F.array(*[F.lit(s) for s in ENTITY_SURFACES]), (idx + 1).cast("int")
+    )
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id",
+        surface.alias("ent"),
+    )
+    w = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    pairs = base.select(
+        "conv_id", "ent", F.lead("ent").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    edges = pairs.select(
+        F.concat_ws("#", "conv_id", "ent").alias("src"),
+        F.concat_ws("#", "conv_id", "nxt").alias("dst"),
+    )
+    comp = scc(edges)
+    sizes = comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("scc_size"))
+    return comp.join(sizes, "scc_id").select("node", "scc_id", "scc_size")
+
+
+_G35_SQL = """
+WITH RECURSIVE seq0 AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts, event_id,
+         list_extract({SURFACES}, cast((event_id * 2654435761) % {NSURF} AS int) + 1) AS ent
+  FROM events
+), seq AS (
+  SELECT conv_id, ent,
+         lead(ent) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS nxt
+  FROM seq0
+), edges0 AS (
+  SELECT conv_id || '#' || ent AS src, conv_id || '#' || nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL
+), nodes AS (
+  SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0
+), edges AS (
+  SELECT DISTINCT src, dst FROM edges0 WHERE src <> dst
+), reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+), reachr AS (
+  SELECT a, b FROM reach UNION SELECT node, node FROM nodes
+), comp AS (
+  SELECT r1.a AS node, min(r1.b) AS scc_id
+  FROM reachr r1 JOIN reachr r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a
+), sizes AS (
+  SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM comp GROUP BY scc_id
+)
+SELECT node, scc_id, scc_size FROM comp JOIN sizes USING (scc_id)
+""".strip().replace("{SURFACES}", _surfaces_sql_list()).replace("{NSURF}", str(len(_SURF)))
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 (engine extension): distributed BPE merge learning — the
     tokenizer-training step of an LLM data pipeline, run the way Sennrich
@@ -5146,6 +5293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g32_neighborhood_jaccard": q_neighborhood_jaccard,
         "g33_transitive_reduction": q_transitive_reduction,
         "g34_weighted_hops": q_weighted_hops,
+        "g35_entity_scc": q_entity_scc,
         "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
@@ -5177,6 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_hll_token_sketch": q_hll_token_sketch,
         "x16_tfidf_keywords": q_tfidf_keywords,
         "x17_phonetic_blocks": q_phonetic_blocks,
+        "x18_jaro_winkler_pairs": q_jaro_winkler_pairs,
         "m7_negative_samples": q_negative_samples,
         "m8_ranking_metrics": q_ranking_metrics,
         "t11_skipgram_pairs": q_skipgram_pairs,
@@ -5269,6 +5418,7 @@ def oracle_sql() -> dict[str, str]:
         "g32_neighborhood_jaccard": _G32_SQL,
         "g33_transitive_reduction": _G33_SQL,
         "g34_weighted_hops": _g34_sql(),
+        "g35_entity_scc": _G35_SQL,
         "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,
@@ -5300,6 +5450,7 @@ def oracle_sql() -> dict[str, str]:
         "a9_hll_token_sketch": _a9_sql(),
         "x16_tfidf_keywords": _X16_SQL,
         "x17_phonetic_blocks": _x17_sql(),
+        "x18_jaro_winkler_pairs": _x18_sql(),
         "m7_negative_samples": _M7_SQL,
         "m8_ranking_metrics": _M8_SQL,
         "t11_skipgram_pairs": _T11_SQL,

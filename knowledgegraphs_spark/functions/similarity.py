@@ -286,3 +286,72 @@ def _near_dup_batch(a_vals, b_vals, strict: bool = False) -> list[bool]:
 @F.pandas_udf(T.BooleanType())
 def near_duplicate_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(_near_dup_batch(a.tolist(), b.tolist(), strict=False))
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler — ER similarity with a fully independent oracle
+# ---------------------------------------------------------------------------
+
+
+def jaro(s1: str, s2: str) -> float:
+    """Jaro similarity, the textbook definition: match window
+    ``max(len)//2 - 1``, greedy left-to-right match marking, half-counted
+    transpositions. Empty-vs-anything (INCLUDING empty-vs-empty) scores
+    0.0 — mirroring DuckDB's ``jaro_similarity``, which the engine uses
+    as the independent cross-implementation oracle."""
+    if not s1 or not s2:
+        return 0.0
+    if s1 == s2:
+        return 1.0
+    window = max(len(s1), len(s2)) // 2 - 1
+    if window < 0:
+        window = 0
+    m1 = [False] * len(s1)
+    m2 = [False] * len(s2)
+    matches = 0
+    for i, c in enumerate(s1):
+        for j in range(max(0, i - window), min(len(s2), i + window + 1)):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(len(s1)):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (matches / len(s1) + matches / len(s2) + (matches - t) / matches) / 3
+
+
+def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1, boost_threshold: float = 0.7) -> float:
+    """Jaro-Winkler: prefix bonus (common prefix capped at 4) applied only
+    above the 0.7 boost threshold — the Winkler'90 parameters DuckDB's
+    ``jaro_winkler_similarity`` implements (parity pinned in pytest over
+    the corpus vocabulary)."""
+    j = jaro(s1, s2)
+    if j > boost_threshold:
+        prefix = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            prefix += 1
+        j += prefix * prefix_weight * (1.0 - j)
+    return j
+
+
+@F.pandas_udf(T.DoubleType())
+def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched Jaro-Winkler — the Python boundary crossed once per
+    batch of (deduplicated) pairs, never per row through pickled lambdas.
+    Like the other matcher UDFs, callers score DISTINCT string pairs and
+    join results back (operators/matching.py discipline)."""
+    return pd.Series(
+        [jaro_winkler(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )

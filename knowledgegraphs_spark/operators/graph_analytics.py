@@ -619,3 +619,184 @@ def weighted_hops(
             .localCheckpoint(eager=True)
         )
     return dist
+
+
+def _fb_min_labels(edges: DataFrame, nodes: DataFrame, max_rounds: int = 256) -> DataFrame:
+    """Minimum node id reachable FORWARD (``fmn``) and BACKWARD (``bmn``)
+    from each node (self included) over directed ``edges(src, dst)`` —
+    both directions in ONE propagation. Per round a node's candidates are
+    its own labels plus its out-neighbors' ``fmn`` / in-neighbors'
+    ``bmn`` (two edge-relation equi-joins NULL-padded into one union —
+    ``min`` skips NULLs), folded in a single map-side-combined
+    ``groupBy(node)``: one checkpoint per round and one cheap change
+    probe on the checkpointed result (the ``chg`` column is computed
+    WITH the labels, so ``isEmpty`` never recomputes the round).
+
+    Rounds needed = the graph's label-propagation radius (max over nodes
+    of the hop distance to its reach-set minimum) — the standard
+    Pregel/GraphX trade: linear rounds, but NO transitive closure and
+    no relation squaring, so every intermediate stays node-vector- or
+    edge-sized at any scale (closure doubling would converge in log
+    rounds and blow up memory on exactly the graphs where rounds
+    matter). A label-of-label "pointer jump" was measured and removed:
+    labels point at MINIMA, which sit at propagation frontiers, so the
+    extra self-joins bought no rounds and doubled per-round cost.
+
+    Invariant (induction): ``fmn`` is always forward-reachable and
+    ``bmn`` backward-reachable, so at the zero-change fixpoint both
+    equal the true reach-set minima. Raises if ``max_rounds`` pass
+    without a fixpoint."""
+    nulls = F.lit(None).cast("string")
+    lab = nodes.select(
+        "node", F.col("node").alias("fmn"), F.col("node").alias("bmn")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_rounds):
+        cand = (
+            lab.select("node", "fmn", "bmn")
+            .unionByName(
+                edges.join(lab.select(F.col("node").alias("dst"), "fmn"), "dst")
+                .select(F.col("src").alias("node"), "fmn", nulls.alias("bmn"))
+            )
+            .unionByName(
+                edges.join(lab.select(F.col("node").alias("src"), "bmn"), "src")
+                .select(F.col("dst").alias("node"), nulls.alias("fmn"), "bmn")
+            )
+        )
+        folded = cand.groupBy("node").agg(
+            F.min("fmn").alias("fmn"), F.min("bmn").alias("bmn")
+        )
+        new = (
+            folded.join(
+                lab.select(
+                    "node", F.col("fmn").alias("ofmn"), F.col("bmn").alias("obmn")
+                ),
+                "node",
+            )
+            .select(
+                "node", "fmn", "bmn",
+                ((F.col("fmn") != F.col("ofmn")) | (F.col("bmn") != F.col("obmn"))).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        done = new.where("chg").isEmpty()
+        lab = new.select("node", "fmn", "bmn")
+        if done:
+            return lab
+    raise ValueError(f"_fb_min_labels: no fixpoint after {max_rounds} rounds")
+
+
+def scc(edges: DataFrame, max_peels: int = 16, driver_finish_threshold: int = 1000) -> DataFrame:
+    """Strongly connected components over directed ``edges(src, dst)``
+    (string node ids): ``(node, scc_id)`` with ``scc_id`` the
+    component's minimum node id.
+
+    The seventh distributed-graph shape: MUTUAL reachability. CC's
+    star-contraction is undirected and cannot answer it; SCC needs
+    direction-aware peeling. Algorithm (the FW-BW min-label hybrid):
+    per peel round compute every remaining node's minimum forward-
+    reachable label ``f`` and minimum backward-reachable label ``b``
+    (ONE combined :func:`_fb_min_labels` pass). All members of one SCC
+    share BOTH labels (mutually reachable ⇒ identical reach sets), and
+    ``f(v) = b(v) = m`` forces ``m`` into forward(v) ∩ backward(v) =
+    SCC(v) — so nodes with ``f = b`` are assigned ``scc_id = f``
+    exactly-correctly, removed, and the next peel runs on the
+    remainder. Every round retires at least the SCC containing the
+    remaining global minimum (for it, both minima ARE that node), so
+    the peel terminates in at most condensation-chain-depth rounds.
+
+    Once the remainder drops to ``driver_finish_threshold`` nodes the
+    tail peels finish on the driver (:func:`scc_py`) — the
+    canonicalize.py threshold-gated-twin discipline: measured on the
+    transition-graph contract query, peel 1 retires >80 % of nodes and
+    the remaining peels are tiny graphs whose per-round job overhead
+    dominates wall time; the twin is equality-tested against the
+    distributed path in pytest. Pass ``driver_finish_threshold=0`` to
+    force the fully distributed path.
+
+    Scale shape: no transitive closure, no path enumeration — every
+    intermediate is node-vector-sized or one edge-relation equi-join;
+    the per-round driver signal is a single ``isEmpty``/``count``
+    (the CC convergence discipline). Isolated nodes (present only via
+    self-loops or as endpoints) come out as singleton components.
+    """
+    spark = edges.sparkSession
+    # node universe BEFORE dropping self-loops: a node whose only edges
+    # are self-loops is still in the graph (a singleton component)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    parts: list[DataFrame] = []
+    for _ in range(max_peels):
+        n_remaining = nodes.count()
+        if n_remaining == 0:
+            break
+        if n_remaining <= driver_finish_threshold:
+            # driver-scale by construction: the remainder is below the
+            # gate, and peeling only ever removes edges, so the edge
+            # list collected here is the small graph's own
+            remaining = [r["node"] for r in nodes.collect()]
+            pairs = [(r["src"], r["dst"]) for r in edges.collect()]
+            comp = scc_py(pairs)
+            rows = [(n, comp.get(n, n)) for n in sorted(remaining)]
+            parts.append(
+                spark.createDataFrame(rows, "node string, scc_id string")
+            )
+            break
+        labs = _fb_min_labels(edges, nodes)
+        assigned = (
+            labs.where(F.col("fmn") == F.col("bmn"))
+            .select("node", F.col("fmn").alias("scc_id"))
+            .localCheckpoint(eager=True)
+        )
+        parts.append(assigned)
+        nodes = nodes.join(assigned, "node", "left_anti").localCheckpoint(eager=True)
+        edges = (
+            edges.join(assigned.select(F.col("node").alias("src")), "src", "left_anti")
+            .join(assigned.select(F.col("node").alias("dst")), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        if not nodes.isEmpty():
+            raise ValueError(f"scc: nodes remain after {max_peels} peel rounds")
+    if not parts:
+        return spark.createDataFrame([], "node string, scc_id string")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scc_py(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Pure-Python twin: mutual reachability by per-node DFS (test-scale
+    graphs), scc_id = min member id."""
+    adj: dict[str, set[str]] = {}
+    nodes: set[str] = set()
+    for s, d in edges:
+        nodes |= {s, d}
+        if s != d:
+            adj.setdefault(s, set()).add(d)
+    reach: dict[str, set[str]] = {}
+    for n in nodes:
+        seen = {n}
+        stack = [n]
+        while stack:
+            cur = stack.pop()
+            for nxt in adj.get(cur, ()):
+                if nxt not in seen:
+                    seen.add(nxt)
+                    stack.append(nxt)
+        reach[n] = seen
+    return {
+        n: min(m for m in reach[n] if n in reach[m])
+        for n in nodes
+    }

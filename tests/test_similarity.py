@@ -115,3 +115,51 @@ def test_canonical_pick_reference_golden():
     # shorter CONCAT wins regardless of raw length; returned value is the
     # punctuation-stripped form
     assert canonical_pick(["a-b-c-d-e", "abcdEF"]) == "a b c d e"
+
+
+# ---------------------------------------------------------------------------
+# Jaro-Winkler: parity with DuckDB's independent native implementation
+# ---------------------------------------------------------------------------
+
+
+def test_jaro_winkler_matches_duckdb():
+    import random
+
+    import duckdb
+
+    from knowledgegraphs_spark.functions.similarity import jaro, jaro_winkler
+
+    rng = random.Random(7)
+    alpha = "abcdef"
+    cases = [
+        ("martha", "marhta"), ("dixon", "dicksonx"), ("jellyfish", "smellyfish"),
+        ("duane", "dwayne"), ("abc", ""), ("", ""), ("a", "a"), ("abcd", "dcba"),
+        ("crate", "trace"), ("xy", "yx"), ("aaa", "aaaa"), ("prefix", "prefixation"),
+    ] + [
+        (
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9))),
+            "".join(rng.choice(alpha) for _ in range(rng.randint(0, 9))),
+        )
+        for _ in range(300)
+    ]
+    con = duckdb.connect()
+    for a, b in cases:
+        dj, djw = con.execute(
+            "SELECT jaro_similarity(?, ?), jaro_winkler_similarity(?, ?)", [a, b, a, b]
+        ).fetchone()
+        assert abs(jaro(a, b) - dj) < 1e-9, (a, b, jaro(a, b), dj)
+        assert abs(jaro_winkler(a, b) - djw) < 1e-9, (a, b, jaro_winkler(a, b), djw)
+    con.close()
+
+
+def test_jaro_winkler_udf_nulls_and_batch(spark):
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.functions.similarity import jaro_winkler_udf
+
+    df = spark.createDataFrame(
+        [("martha", "marhta"), (None, "x"), ("x", None), ("same", "same")],
+        "a string, b string",
+    )
+    got = [r[0] for r in df.select(F.round(jaro_winkler_udf("a", "b"), 6)).collect()]
+    assert got == [0.961111, 0.0, 0.0, 1.0]
