@@ -1845,6 +1845,70 @@ SELECT query_id, neighbor_id, cosine, cast(rank AS int) AS rank FROM (
 """.strip().replace("{VALUES}", values)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 (engine extension): SemDeDup (Abbas et al. 2023) — semantic
+    dedup by embedding clusters: Lloyd-trained spherical-k-means
+    clustering (the s3b quantizer), then within each cluster drop items
+    with cosine ≥ τ to a lower-id cluster-mate. τ = 0.45 here: the
+    synthetic embeddings are near-orthogonal (max corpus cosine 0.51 at
+    sf0.01 / 0.60 at sf0.1), so the paper's 0.95-ish setting would make
+    the verdict column vacuously all-kept — the gate should exercise
+    BOTH verdicts. The quadratic scan is
+    cluster-local by design (k ~ √N at corpus scale); assignment is the
+    shared zero-shuffle literal-centroid projection. Oracle: twin
+    centroids inlined as VALUES + the same assignment/pair/verdict
+    relational chain in DuckDB. See ``simsearch.semantic_dedup``."""
+    from knowledgegraphs_spark.operators.simsearch import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, n_centroids=8, n_iters=3)
+
+
+def _d8_sql(threshold: float = 0.45, n_centroids: int = 8) -> str:
+    """d8 oracle: trained centroids from the sequential numpy twin at
+    oracle-BUILD time (the s3b pattern), assignment re-derived via the
+    same rounded-cosine row_number chain, in-cluster pairs + the
+    keep-lowest-id verdict as an anti-join."""
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _lloyd_twin_centroids(sf_dir, n_centroids=n_centroids, n_iters=3)
+    values = ",\n    ".join(
+        "(" + str(cid) + ", [" + ",".join(repr(v) for v in vec) + "])" for cid, vec in cents
+    )
+    cos = (
+        "round(CASE WHEN sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0"
+        " AND sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) > 0"
+        " THEN list_sum(list_transform(generate_series(1, len({a})),"
+        " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+        " ELSE 0.0 END, 6)"
+    )
+    return f"""
+WITH cent(cid, cvec) AS (
+  VALUES
+    {values}
+), ca AS (
+  SELECT e.vec_id, c.cid,
+         {cos.format(a='e.embedding', b='c.cvec')} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+), cbest AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rk FROM ca
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         {cos.format(a='ea.embedding', b='eb.embedding')} AS cosine
+  FROM cbest a JOIN cbest b ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), dropped AS (
+  SELECT DISTINCT id_b AS vec_id FROM pairs WHERE cosine >= {threshold}
+)
+SELECT cb.vec_id, cb.centroid_id, d.vec_id IS NULL AS kept
+FROM cbest cb LEFT JOIN dropped d USING (vec_id)
+""".strip()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucket candidates (numpy-vectorized pandas UDF)."""
     from knowledgegraphs_spark.operators.dedup import simhash_candidates
@@ -5338,6 +5402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t16_bpe_merges": q_bpe_merges,
         "a11_hist_quantile_sketch": q_hist_quantile_sketch,
         "d7_duplicated_spans": q_duplicated_spans,
+        "d8_semantic_dedup": q_semantic_dedup,
         "t10_length_quantiles": q_length_quantiles,
         "d5_dedup_embedding": q_dedup_embedding,
         "d1_dedup_exact": q_dedup_exact,
@@ -5463,6 +5528,7 @@ def oracle_sql() -> dict[str, str]:
         "t16_bpe_merges": _t16_sql(),
         "a11_hist_quantile_sketch": _A11_SQL,
         "d7_duplicated_spans": _D7_SQL,
+        "d8_semantic_dedup": _d8_sql(),
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

@@ -289,6 +289,32 @@ def quantization_score(
     return total / cnt if cnt else 0.0
 
 
+def _centroid_structs(vec, centroids: list[tuple[int, list[float]]]):
+    """array<struct<cos,nid>> of rounded cosines to every LITERAL centroid
+    — sequential folds so the DuckDB twin reproduces values bit-for-bit;
+    norms guarded like cosine_col. ``nid`` is the NEGATED centroid id so
+    ``array_max`` breaks cosine ties toward the LOWER id. Zero-shuffle:
+    the centroids are inlined as literal arrays, assignment is a pure
+    codegen'd projection over one corpus scan."""
+    norm_v = F.sqrt(
+        F.aggregate(vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+    )
+    entries = []
+    for cid, cvec in centroids:
+        plane = F.array(*[F.lit(v) for v in cvec])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        norm_c = F.sqrt(F.aggregate(plane, F.lit(0.0), lambda a, x: a + x * x))
+        cos = F.round(
+            F.when((norm_v > 0) & (norm_c > 0), dot / (norm_v * norm_c)).otherwise(0.0), 6
+        )
+        entries.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("nid")))
+    return F.array(*entries)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -328,25 +354,7 @@ def ivf_topk(
         centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
 
     def nearest_structs(vec):
-        """array<struct<cos,nid>> per row — sequential folds so the DuckDB
-        twin reproduces values bit-for-bit; norms guarded like cosine_col."""
-        norm_v = F.sqrt(
-            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
-        )
-        entries = []
-        for cid, cvec in centroids:
-            plane = F.array(*[F.lit(v) for v in cvec])
-            dot = F.aggregate(
-                F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            )
-            norm_c = F.sqrt(F.aggregate(plane, F.lit(0.0), lambda a, x: a + x * x))
-            cos = F.round(
-                F.when((norm_v > 0) & (norm_c > 0), dot / (norm_v * norm_c)).otherwise(0.0), 6
-            )
-            entries.append(F.struct(cos.alias("cos"), F.lit(-cid).alias("nid")))
-        return F.array(*entries)
+        return _centroid_structs(vec, centroids)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
     c_assigned = c.withColumn(
@@ -413,4 +421,64 @@ def embedding_near_duplicates(
         .withColumn("cosine", F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding clusters — cluster the corpus with the
+    spherical-k-means coarse quantizer, then WITHIN each cluster drop
+    every item whose cosine to a LOWER-id cluster-mate is ≥
+    ``threshold`` (the deterministic keep-one rule; the paper keeps an
+    arbitrary representative per duplicate group).
+
+    Returns ``(id_col, centroid_id, kept)`` for every corpus row.
+
+    This is the scale design the paper argues for: the quadratic pair
+    scan is LOCAL to a cluster (k ~ √N clusters at corpus scale keeps
+    expected cluster size √N), so no corpus-wide self-join exists —
+    assignment is the zero-shuffle literal-centroid projection shared
+    with :func:`ivf_topk`, the pair join shuffles on ``centroid_id``
+    (n_centroids keys; AQE splits residual skew), and the verdict is
+    one id-only anti-join. Cosines round to 6 decimals before the
+    threshold compare — the contract that keeps the DuckDB twin exact
+    regardless of float summation order."""
+    if centroids is None:
+        centroids = train_ivf_centroids(
+            corpus, n_centroids=n_centroids, n_iters=n_iters,
+            id_col=id_col, vec_col=vec_col,
+        )
+    assigned = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        .withColumn("best", F.array_max(_centroid_structs(F.col("vec"), centroids)))
+        .select("id", "vec", (-F.col("best.nid")).alias("centroid_id"))
+        # assignment feeds BOTH pair sides and the verdict join; without
+        # this the literal-centroid projection re-runs three times (no
+        # cross-branch CSE) — production reads a materialized store
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select("centroid_id", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = assigned.select("centroid_id", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.round(cosine_col(F.col("vec_a"), F.col("vec_b")), 6) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "centroid_id",
+            F.col("__dup").isNull().alias("kept"),
+        )
     )

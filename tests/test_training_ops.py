@@ -756,3 +756,37 @@ def test_char_entropy_hand_computed(spark):
     skew = -(7 / 8) * math.log(7 / 8) - (1 / 8) * math.log(1 / 8)
     assert got[5].entropy == round(skew, 6)
     assert got[2].entropy < got[5].entropy < got[4].entropy
+
+
+# ---------------------------------------------------------------------------
+# d8: SemDeDup — semantic dedup by embedding clusters
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_drops_higher_id_twin(spark):
+    from knowledgegraphs_spark.operators.simsearch import semantic_dedup
+
+    # two planted near-duplicate families along distinct axes + singletons
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # dup of 1 (higher id -> dropped)
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.999, 0.02, 0.0]),   # dup of 3 -> dropped
+        (5, [0.0, 0.0, 1.0, 0.0]),
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        emb, threshold=0.95, n_centroids=4, n_iters=2
+    ).collect()}
+    assert out == {1: True, 2: False, 3: True, 4: False, 5: True, 6: True}
+
+
+def test_semantic_dedup_partitioning_invariant(spark):
+    from knowledgegraphs_spark.operators.simsearch import semantic_dedup
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    a = sorted(tuple(r) for r in semantic_dedup(emb.coalesce(1), threshold=0.98, n_centroids=4, n_iters=2).collect())
+    b = sorted(tuple(r) for r in semantic_dedup(emb.repartition(7), threshold=0.98, n_centroids=4, n_iters=2).collect())
+    assert a == b
