@@ -1909,6 +1909,45 @@ FROM cbest cb LEFT JOIN dropped d USING (vec_id)
 """.strip()
 
 
+def q_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 (engine extension): int8 scalar quantization of the embedding
+    corpus (FAISS SQ8) — per-dimension min/max stats via one map-side-
+    combined groupBy(dim), codes + reconstruction RMSE as a zero-shuffle
+    literal-array projection. Fully relational oracle (no build-time
+    twin needed): DuckDB re-derives stats, codes and RMSE from the same
+    floor(x+0.5) / sequential-fold contract. See
+    ``simsearch.scalar_quantize``."""
+    from knowledgegraphs_spark.operators.simsearch import scalar_quantize
+
+    return scalar_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+_M10_SQL = """
+WITH stats AS (
+  SELECT pos, min(v) AS lo, max(v) AS hi FROM (
+    SELECT unnest(embedding) AS v, generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  ) GROUP BY pos
+), arrs AS (
+  SELECT list(CAST(lo AS DOUBLE) ORDER BY pos) AS lo_a,
+         list(CASE WHEN hi > lo THEN CAST(hi AS DOUBLE) - CAST(lo AS DOUBLE) ELSE 1.0 END ORDER BY pos) AS span_a
+  FROM stats
+), q AS (
+  SELECT e.vec_id, e.embedding, a.lo_a, a.span_a,
+         list_transform(generate_series(1, len(e.embedding)), i ->
+           CAST(floor((CAST(e.embedding[i] AS DOUBLE) - a.lo_a[i]) / a.span_a[i] * 255 + 0.5) AS INT)
+         ) AS qvec
+  FROM embeddings e CROSS JOIN arrs a
+)
+SELECT vec_id, qvec,
+       round(sqrt(list_sum(list_transform(generate_series(1, len(embedding)), i ->
+         (CAST(embedding[i] AS DOUBLE) - (CAST(qvec[i] AS DOUBLE) / 255 * span_a[i] + lo_a[i]))
+         * (CAST(embedding[i] AS DOUBLE) - (CAST(qvec[i] AS DOUBLE) / 255 * span_a[i] + lo_a[i]))
+       )) / len(embedding)), 6) AS rmse
+FROM q
+""".strip()
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucket candidates (numpy-vectorized pandas UDF)."""
     from knowledgegraphs_spark.operators.dedup import simhash_candidates
@@ -5394,6 +5433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m8_ranking_metrics": q_ranking_metrics,
         "t11_skipgram_pairs": q_skipgram_pairs,
         "m9_shard_plan": q_shard_plan,
+        "m10_embedding_quantization": q_embedding_quantization,
         "t12_leakage_free_split": q_leakage_free_split,
         "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
         "t13_bigram_logprob": q_bigram_logprob,
@@ -5520,6 +5560,7 @@ def oracle_sql() -> dict[str, str]:
         "m8_ranking_metrics": _M8_SQL,
         "t11_skipgram_pairs": _T11_SQL,
         "m9_shard_plan": _M9_SQL,
+        "m10_embedding_quantization": _M10_SQL,
         "t12_leakage_free_split": _t12_sql(),
         "a10_countmin_heavy_hitters": _A10_SQL,
         "t13_bigram_logprob": _T13_SQL,

@@ -482,3 +482,76 @@ def semantic_dedup(
             F.col("__dup").isNull().alias("kept"),
         )
     )
+
+
+def scalar_quantize(
+    corpus: DataFrame,
+    levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension scalar quantization (the FAISS ``SQ8`` idea): map
+    each embedding dimension linearly onto ``levels`` integer codes
+    using corpus-wide per-dimension min/max, and report each vector's
+    reconstruction RMSE — the memory-compression step that turns a
+    4-byte-float ANN corpus into a 1-byte-code one (4× less executor
+    memory and shuffle for every downstream candidate scan).
+
+    Returns ``(id_col, qvec array<int>, rmse)``.
+
+    Scale shape: the stats pass is ONE ``posexplode`` + map-side-
+    combined ``groupBy(dim)`` — the combiner collapses every partition
+    to ``dim`` rows before the (dim-sized) shuffle; the collected
+    min/max vectors are driver-scale by definition (d doubles) and come
+    back as LITERAL arrays, so quantization itself is a zero-shuffle
+    codegen'd projection over one corpus scan, the ivf_topk centroid
+    discipline. Code arithmetic is ``floor(x + 0.5)`` (not banker's
+    rounding) and the error fold is sequential — both pinned so the
+    DuckDB twin reproduces codes and RMSE bit-for-bit. Constant
+    dimensions (max == min) span 1.0 and encode as code 0.
+    """
+    if levels < 2:
+        raise ValueError(f"scalar_quantize: levels must be >= 2, got {levels}")
+    stats = (
+        corpus.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        .collect()
+    )
+    by_dim = sorted((r["dim"], float(r["lo"]), float(r["hi"])) for r in stats)
+    lo_arr = F.array(*[F.lit(lo) for _, lo, _ in by_dim])
+    span_arr = F.array(
+        *[F.lit(hi - lo if hi > lo else 1.0) for _, lo, hi in by_dim]
+    )
+    top = levels - 1
+    q = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("__v"),
+        F.transform(
+            F.col(vec_col),
+            lambda x, i: F.floor(
+                (x.cast("double") - F.element_at(lo_arr, i + 1))
+                / F.element_at(span_arr, i + 1) * top + F.lit(0.5)
+            ).cast("int"),
+        ).alias("qvec"),
+    )
+    sq_err = F.aggregate(
+        F.transform(
+            F.col("__v"),
+            lambda x, i: (
+                x.cast("double")
+                - (
+                    F.element_at(F.col("qvec"), i + 1).cast("double") / top
+                    * F.element_at(span_arr, i + 1)
+                    + F.element_at(lo_arr, i + 1)
+                )
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d * d,
+    )
+    return q.select(
+        id_col,
+        "qvec",
+        F.round(F.sqrt(sq_err / F.size("__v")), 6).alias("rmse"),
+    )

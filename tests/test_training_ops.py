@@ -790,3 +790,26 @@ def test_semantic_dedup_partitioning_invariant(spark):
     a = sorted(tuple(r) for r in semantic_dedup(emb.coalesce(1), threshold=0.98, n_centroids=4, n_iters=2).collect())
     b = sorted(tuple(r) for r in semantic_dedup(emb.repartition(7), threshold=0.98, n_centroids=4, n_iters=2).collect())
     assert a == b
+
+
+def test_scalar_quantize_codes_and_rmse(spark):
+    import math
+
+    import pytest
+
+    from knowledgegraphs_spark.operators.simsearch import scalar_quantize
+
+    rows = [(1, [0.0, 5.0]), (2, [1.0, 5.0]), (3, [0.5, 5.0])]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    out = {r["vec_id"]: (r["qvec"], r["rmse"]) for r in scalar_quantize(emb).collect()}
+    # dim 0 spans [0,1] -> codes 0 / 255 / 128; dim 1 is constant -> code 0
+    assert out[1][0] == [0, 0]
+    assert out[2][0] == [255, 0]
+    assert out[3][0] == [128, 0]
+    # endpoints reconstruct exactly on dim 0; constant dim reconstructs to lo
+    assert out[1][1] == 0.0 and out[2][1] == 0.0
+    # mid value 0.5 -> code 128 -> 128/255 = 0.50196..., rmse = |err|/sqrt(2)
+    err = 128 / 255 - 0.5
+    assert abs(out[3][1] - round(math.sqrt(err * err / 2), 6)) < 1e-9
+    with pytest.raises(ValueError, match="levels"):
+        scalar_quantize(emb, levels=1)
