@@ -4976,6 +4976,93 @@ SELECT node, scc_id, scc_size FROM comp JOIN sizes USING (scc_id)
 """.strip().replace("{SURFACES}", _surfaces_sql_list()).replace("{NSURF}", str(len(_SURF)))
 
 
+def q_entity_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G36 (engine extension): HITS hubs/authorities over the per-
+    conversation entity TRANSITION digraph (the g35 graph, self-loops
+    kept) — 5 fixed alternating power iterations, sum-normalized each
+    half-step so the unrolled relational twin is exact (the g12
+    contract). Separates context-setting entities (hubs) from entities
+    contexts converge on (authorities) — the directional importance
+    signal PageRank's single score conflates. See
+    ``graph_analytics.hits``."""
+    from knowledgegraphs_spark.operators.graph_analytics import hits
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES
+
+    ev = _t(spark, sf_dir, "events")
+    idx = (F.col("event_id") * F.lit(2654435761)) % F.lit(len(ENTITY_SURFACES))
+    surface = F.element_at(
+        F.array(*[F.lit(s) for s in ENTITY_SURFACES]), (idx + 1).cast("int")
+    )
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id",
+        surface.alias("ent"),
+    )
+    w = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    pairs = base.select(
+        "conv_id", "ent", F.lead("ent").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    edges = pairs.select(
+        F.concat_ws("#", "conv_id", "ent").alias("src"),
+        F.concat_ws("#", "conv_id", "nxt").alias("dst"),
+    )
+    out = hits(edges, iters=5)
+    return out.select(
+        "node", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def _hits_sql(iters: int = 5) -> str:
+    steps = []
+    prev_h = "h0"
+    prev_a = None
+    for i in range(1, iters + 1):
+        # every CTE is MATERIALIZED: each *_raw is referenced twice (its
+        # normalizer and the next half-step), and DuckDB's default CTE
+        # INLINING doubles the expansion per reference — 2^(2*iters)
+        # blow-up measured as a hang at iters=5
+        steps.append(
+            f"""a{i}_raw AS MATERIALIZED (
+  SELECT n.node, coalesce(s.s, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.v) AS s FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst
+  ) s USING (node)
+), a{i} AS MATERIALIZED (
+  SELECT node, v / (SELECT sum(v) FROM a{i}_raw) AS v FROM a{i}_raw
+), h{i}_raw AS MATERIALIZED (
+  SELECT n.node, coalesce(s.s, 0) AS v
+  FROM nodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.v) AS s FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src
+  ) s USING (node)
+), h{i} AS MATERIALIZED (
+  SELECT node, v / (SELECT sum(v) FROM h{i}_raw) AS v FROM h{i}_raw
+)"""
+        )
+        prev_h, prev_a = f"h{i}", f"a{i}"
+    chain = ", ".join(steps)
+    return """
+WITH seq0 AS (
+  SELECT cast(user_id AS varchar) AS conv_id, ts, event_id,
+         list_extract({SURFACES}, cast((event_id * 2654435761) % {NSURF} AS int) + 1) AS ent
+  FROM events
+), seq AS (
+  SELECT conv_id, ent,
+         lead(ent) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS nxt
+  FROM seq0
+), edges AS (
+  SELECT DISTINCT conv_id || '#' || ent AS src, conv_id || '#' || nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), h0 AS MATERIALIZED (
+  SELECT node, 1.0 / (SELECT count(*) FROM nodes) AS v FROM nodes
+), {CHAIN}
+SELECT h.node, round(h.v, 6) AS hub, round(a.v, 6) AS authority
+FROM {PH} h JOIN {PA} a USING (node)
+""".strip().replace("{SURFACES}", _surfaces_sql_list()).replace(
+        "{NSURF}", str(len(_SURF))
+    ).replace("{CHAIN}", chain).replace("{PH}", prev_h).replace("{PA}", prev_a)
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 (engine extension): distributed BPE merge learning — the
     tokenizer-training step of an LLM data pipeline, run the way Sennrich
@@ -5397,6 +5484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g33_transitive_reduction": q_transitive_reduction,
         "g34_weighted_hops": q_weighted_hops,
         "g35_entity_scc": q_entity_scc,
+        "g36_entity_hits": q_entity_hits,
         "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
@@ -5524,6 +5612,7 @@ def oracle_sql() -> dict[str, str]:
         "g33_transitive_reduction": _G33_SQL,
         "g34_weighted_hops": _g34_sql(),
         "g35_entity_scc": _G35_SQL,
+        "g36_entity_hits": _hits_sql(),
         "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,

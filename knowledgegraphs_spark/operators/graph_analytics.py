@@ -800,3 +800,89 @@ def scc_py(edges: list[tuple[str, str]]) -> dict[str, str]:
         n: min(m for m in reach[n] if n in reach[m])
         for n in nodes
     }
+
+
+def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
+    """Hubs & authorities (Kleinberg's HITS) over directed
+    ``edges(src, dst)``: ``(node, hub, authority)`` after ``iters``
+    fixed alternating power iterations — the second power-iteration
+    shape next to :func:`pagerank` (PageRank ranks where mass FLOWS,
+    HITS separates pointers-to-good-content from pointed-at content;
+    on an entity-transition graph: entities that set up contexts vs
+    entities contexts converge on).
+
+    Normalization is SUM-to-1 each half-step, not the textbook L2:
+    scores differ from L2-HITS by a per-iteration scalar only (ranking
+    identical), and staying radical-free keeps the unrolled relational
+    twin exact (the g12 contract). Normalization totals come from a
+    broadcast 1-row aggregate cross join — no driver round-trip per
+    iteration, no global window.
+
+    Scale shape: per half-step ONE equi-join of the edge relation
+    against the current score vector plus a map-side-combined
+    ``groupBy`` — shuffles are score-vector-sized; ``localCheckpoint``
+    per half-step (each raw vector feeds both its own normalizer and
+    the next join — no cross-branch CSE otherwise). Fixed iterations =
+    deterministic, oracle-checkable."""
+    edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(raw: DataFrame, col: str) -> DataFrame:
+        total = raw.agg(F.sum(col).alias("__t"))
+        return raw.crossJoin(F.broadcast(total)).select(
+            "node", (F.col(col) / F.col("__t")).alias(col)
+        )
+
+    h = _normalize(nodes.select("node", F.lit(1.0).alias("hub")), "hub")
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            nodes.join(
+                edges.join(h.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("hub").alias("authority")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("authority", F.lit(0.0)).alias("authority"))
+            .localCheckpoint(eager=True)
+        )
+        a = _normalize(a_raw, "authority")
+        h_raw = (
+            nodes.join(
+                edges.join(a.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("authority").alias("hub")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("hub", F.lit(0.0)).alias("hub"))
+            .localCheckpoint(eager=True)
+        )
+        h = _normalize(h_raw, "hub")
+    return h.join(a, "node").select("node", "hub", "authority")
+
+
+def hits_py(edges: list[tuple[str, str]], iters: int = 5) -> dict[str, tuple[float, float]]:
+    """Pure-Python twin — same alternating sum-normalized semantics."""
+    nodes = sorted({n for e in edges for n in e})
+    eset = sorted(set(edges))
+    h = {n: 1.0 / len(nodes) for n in nodes} if nodes else {}
+    a = {}
+    for _ in range(iters):
+        a = {n: 0.0 for n in nodes}
+        for s, d in eset:
+            a[d] += h[s]
+        ta = sum(a.values())
+        a = {n: v / ta for n, v in a.items()}
+        h = {n: 0.0 for n in nodes}
+        for s, d in eset:
+            h[s] += a[d]
+        th = sum(h.values())
+        h = {n: v / th for n, v in h.items()}
+    return {n: (h[n], a[n]) for n in nodes}

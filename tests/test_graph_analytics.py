@@ -395,3 +395,37 @@ def test_scc_long_cycle(spark):
     edges = [(f"n{i:02d}", f"n{(i + 1) % n:02d}") for i in range(n)]
     got = _scc_check(spark, edges)
     assert set(got.values()) == {"n00"}
+
+
+def test_hits_matches_py_twin(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import hits, hits_py
+
+    edges = [
+        ("a", "c"), ("b", "c"), ("c", "d"), ("a", "d"), ("d", "a"), ("c", "c"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(df, iters=4).collect()}
+    exp = hits_py(edges, iters=4)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert abs(got[n][0] - exp[n][0]) < 1e-9, (n, got[n], exp[n])
+        assert abs(got[n][1] - exp[n][1]) < 1e-9, (n, got[n], exp[n])
+    # scores are distributions each half-step
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-9
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-9
+    # 'c' is pointed at by both a and b -> top authority; 'a' points at
+    # the two top authorities -> top hub
+    assert max(exp, key=lambda n: exp[n][1]) == "c"
+    assert max(exp, key=lambda n: exp[n][0]) == "a"
+
+
+def test_hits_partitioning_invariant(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import hits
+
+    edges = [(f"n{i % 7}", f"n{(i * 3 + 1) % 7}") for i in range(20)]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    a = sorted(tuple(r) for r in hits(df.coalesce(1), iters=3).collect())
+    b = sorted(tuple(r) for r in hits(df.repartition(5), iters=3).collect())
+    for ra, rb in zip(a, b):
+        assert ra[0] == rb[0]
+        assert abs(ra[1] - rb[1]) < 1e-12 and abs(ra[2] - rb[2]) < 1e-12
