@@ -4873,6 +4873,196 @@ FROM with_n GROUP BY doc_id
 """.strip()
 
 
+def q_zorder_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 (engine extension): Z-order (Morton) codes over
+    ``lineitem(l_orderkey, l_partkey)`` — the multi-column file-layout
+    curve (Delta OPTIMIZE ZORDER / Iceberg sort-order rewrite). The code
+    is a zero-shuffle codegen'd bit-interleave projection; the layout
+    step itself (one range exchange + intra-partition sort,
+    ``layout.zorder_layout``) is exercised in pytest — the value gate
+    here pins the curve arithmetic bit-for-bit against the relational
+    twin."""
+    from knowledgegraphs_spark.operators.layout import zorder_code
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_partkey", "l_linenumber",
+        zorder_code([F.col("l_orderkey"), F.col("l_partkey")], bits=21).alias("zcode"),
+    )
+
+
+def _s15_sql(bits: int = 21) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((l_orderkey >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((l_partkey >> {i}) & 1) << {2 * i + 1})")
+    expr = " | ".join(terms)
+    return f"""
+SELECT l_orderkey, l_partkey, l_linenumber,
+       CAST({expr} AS BIGINT) AS zcode
+FROM lineitem
+""".strip()
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 (engine extension): key-skew diagnostics for
+    ``orders.o_custkey`` — the pre-flight report a 100-TB pipeline runs
+    before choosing join/partition keys (salting and AQE skew handling
+    are reactions to exactly this distribution). One map-side-combined
+    groupBy(key), then a single exact-percentile aggregate over the
+    key-cardinality-sized count vector (``F.percentile`` merges
+    distributed — no global window, the t10 discipline) plus a
+    deterministic top-10 share; output is one row."""
+    counts = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top10 = (
+        counts.orderBy(F.desc("cnt"), F.asc("o_custkey"))
+        .limit(10)
+        .agg(F.sum("cnt").alias("top10"))
+    )
+    return (
+        counts.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("cnt").alias("n_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(F.avg("cnt"), 6).alias("mean_cnt"),
+            F.round(F.percentile(F.col("cnt").cast("double"), 0.5), 4).alias("p50"),
+            F.round(F.percentile(F.col("cnt").cast("double"), 0.9), 4).alias("p90"),
+            F.round(F.percentile(F.col("cnt").cast("double"), 0.99), 4).alias("p99"),
+        )
+        .crossJoin(F.broadcast(top10))
+        .select(
+            "n_keys", "n_rows", "max_cnt", "mean_cnt", "p50", "p90", "p99",
+            F.round(F.col("max_cnt") / (F.col("n_rows") / F.col("n_keys")), 6).alias("skew_factor"),
+            F.round(F.col("top10") / F.col("n_rows"), 6).alias("top10_share"),
+        )
+    )
+
+
+_A12_SQL = """
+WITH counts AS (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+), top10 AS (
+  SELECT sum(cnt) AS top10 FROM (
+    SELECT cnt FROM counts ORDER BY cnt DESC, o_custkey LIMIT 10
+  )
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(max(cnt) AS BIGINT) AS max_cnt,
+       round(avg(cnt), 6) AS mean_cnt,
+       round(quantile_cont(CAST(cnt AS DOUBLE), 0.5), 4) AS p50,
+       round(quantile_cont(CAST(cnt AS DOUBLE), 0.9), 4) AS p90,
+       round(quantile_cont(CAST(cnt AS DOUBLE), 0.99), 4) AS p99,
+       round(max(cnt) / (sum(cnt) / CAST(count(*) AS DOUBLE)), 6) AS skew_factor,
+       round((SELECT top10 FROM top10) / CAST(sum(cnt) AS DOUBLE), 6) AS top10_share
+FROM counts
+""".strip()
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W9 (engine extension): ordered funnel analysis over the events
+    stream — per user, the earliest ``view``, the earliest ``click``
+    strictly after it, the earliest ``purchase`` strictly after that;
+    per step the users reached and the step conversion rate. The classic
+    product-analytics query (strict event ORDER, not mere presence —
+    presence-only funnels overcount). Scale shape: one user-keyed
+    map-side-combined min-aggregate per step + user-keyed equi-joins; no
+    windows, no per-user sequence materialization."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    nv, nc, np_ = v.count(), c.count(), p.count()
+    rows = [
+        (1, "view", nv, 1.0),
+        (2, "click", nc, round(nc / nv, 6) if nv else 0.0),
+        (3, "purchase", np_, round(np_ / nc, 6) if nc else 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "step int, name string, n_users bigint, conversion double"
+    )
+
+
+_W9_SQL = """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id
+), counts AS (
+  SELECT (SELECT count(*) FROM v) AS nv, (SELECT count(*) FROM c) AS nc,
+         (SELECT count(*) FROM p) AS np
+)
+SELECT * FROM (
+  SELECT 1 AS step, 'view' AS name, nv AS n_users, 1.0 AS conversion FROM counts
+  UNION ALL
+  SELECT 2, 'click', nc, round(CASE WHEN nv > 0 THEN nc / CAST(nv AS DOUBLE) ELSE 0 END, 6) FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', np, round(CASE WHEN nc > 0 THEN np / CAST(nc AS DOUBLE) ELSE 0 END, 6) FROM counts
+)
+""".strip()
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W10 (engine extension): weekly cohort retention — users bucketed
+    by the week of their FIRST event, counted distinct in every
+    subsequent week offset they were active. The standard growth-
+    analytics triangle. Scale shape: one user-keyed min-aggregate for
+    cohort assignment, one user-keyed join back, one map-side-combined
+    distinct-count per (cohort, offset) — offsets derive from date
+    arithmetic, never a per-user sequence."""
+    ev = _t(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            "user_id", "cohort_week",
+            (
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+_W10_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(floor(date_diff('day', f.cohort_week, CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+""".strip()
+
+
 def q_chat_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T15 (engine extension): ChatML training-example assembly — one
     rendered ``<|im_start|>{role}\\n{text}<|im_end|>\\n`` document per
@@ -5500,6 +5690,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g24_kg_asof": q_kg_asof,
         "g25_shacl_validation": q_shacl_validation,
         "w8_entity_catalog": q_entity_catalog,
+        "w9_event_funnel": q_event_funnel,
+        "s15_zorder_codes": q_zorder_codes,
+        "a12_skew_report": q_skew_report,
+        "w10_cohort_retention": q_cohort_retention,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -5628,6 +5822,10 @@ def oracle_sql() -> dict[str, str]:
         "g24_kg_asof": _G24_SQL,
         "g25_shacl_validation": _G25_SQL,
         "w8_entity_catalog": _w8_sql(),
+        "w9_event_funnel": _W9_SQL,
+        "s15_zorder_codes": _s15_sql(),
+        "a12_skew_report": _A12_SQL,
+        "w10_cohort_retention": _W10_SQL,
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,

@@ -813,3 +813,34 @@ def test_scalar_quantize_codes_and_rmse(spark):
     assert abs(out[3][1] - round(math.sqrt(err * err / 2), 6)) < 1e-9
     with pytest.raises(ValueError, match="levels"):
         scalar_quantize(emb, levels=1)
+
+
+def test_event_funnel_strict_ordering(spark, monkeypatch):
+    """A user whose purchase precedes the click must NOT count as
+    converted — the strict-order semantics presence-only funnels miss."""
+    import datetime as dt
+
+    import __spark_entry__ as entry_mod
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        # u1: proper view -> click -> purchase
+        (1, base, 1, "view", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (3, base + dt.timedelta(minutes=2), 1, "purchase", 0.0, "{}"),
+        # u2: purchase BEFORE click -> reaches click, not purchase
+        (4, base, 2, "view", 0.0, "{}"),
+        (5, base + dt.timedelta(minutes=1), 2, "purchase", 0.0, "{}"),
+        (6, base + dt.timedelta(minutes=2), 2, "click", 0.0, "{}"),
+        # u3: click only, never viewed -> reaches nothing
+        (7, base, 3, "click", 0.0, "{}"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    monkeypatch.setattr(entry_mod, "_t", lambda _s, _d, _n: ev)
+    got = {r["name"]: (r["n_users"], r["conversion"]) for r in
+           entry_mod.q_event_funnel(spark, "ignored").collect()}
+    assert got["view"] == (2, 1.0)
+    assert got["click"] == (2, 1.0)
+    assert got["purchase"] == (1, 0.5)
