@@ -5253,6 +5253,92 @@ FROM {PH} h JOIN {PA} a USING (node)
     ).replace("{CHAIN}", chain).replace("{PH}", prev_h).replace("{PA}", prev_a)
 
 
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G37 (engine extension): personalized PageRank over the entity-
+    transition digraph, restarting at every node whose surface is
+    'John Smith' — proximity-to-seed-entity scores (the related-entity
+    expansion primitive), vs g12's global importance. 10 fixed
+    iterations, ranks rounded to 6; oracle = the g12 unrolled-CTE twin
+    with the teleport vector restricted to the seed set."""
+    from knowledgegraphs_spark.operators.graph_analytics import personalized_pagerank
+    from knowledgegraphs_spark.sources.transcripts import ENTITY_SURFACES
+
+    ev = _t(spark, sf_dir, "events")
+    idx = (F.col("event_id") * F.lit(2654435761)) % F.lit(len(ENTITY_SURFACES))
+    surface = F.element_at(
+        F.array(*[F.lit(s) for s in ENTITY_SURFACES]), (idx + 1).cast("int")
+    )
+    base = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "event_id",
+        surface.alias("ent"),
+    )
+    w = W.partitionBy("conv_id").orderBy("ts", "event_id")
+    pairs = base.select(
+        "conv_id", "ent", F.lead("ent").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    edges = pairs.select(
+        F.concat_ws("#", "conv_id", "ent").alias("src"),
+        F.concat_ws("#", "conv_id", "nxt").alias("dst"),
+    )
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    seeds = nodes.where(F.substring_index("node", "#", -1) == "John Smith")
+    ranks = personalized_pagerank(edges, seeds, damping=0.85, iters=10)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def _g37_sql(iters: int = 10, damping: float = 0.85) -> str:
+    prev = "r0"
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT n.node,
+         (CASE WHEN sd.node IS NOT NULL THEN ({1.0 - damping:.2f} / (SELECT n FROM ns)) ELSE 0 END)
+           + {damping:.2f} * coalesce(s.s, 0) AS rank
+  FROM nodes n
+  LEFT JOIN seeds sd ON n.node = sd.node
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+    FROM edges e JOIN {prev} r ON e.src = r.node JOIN deg d ON e.src = d.src
+    GROUP BY e.dst
+  ) s ON n.node = s.node
+)"""
+        )
+        prev = f"r{i}"
+    chain = ", ".join(steps)
+    return ("""
+WITH seq0 AS MATERIALIZED (
+  SELECT cast(user_id AS varchar) AS conv_id, ts, event_id,
+         list_extract({SURFACES}, cast((event_id * 2654435761) % {NSURF} AS int) + 1) AS ent
+  FROM events
+), seq AS (
+  SELECT conv_id, ent,
+         lead(ent) OVER (PARTITION BY conv_id ORDER BY ts, event_id) AS nxt
+  FROM seq0
+), edges AS MATERIALIZED (
+  SELECT conv_id || '#' || ent AS src, conv_id || '#' || nxt AS dst
+  FROM seq WHERE nxt IS NOT NULL
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges
+), seeds AS MATERIALIZED (
+  SELECT node FROM nodes WHERE split_part(node, '#', 2) = 'John Smith'
+), ns AS MATERIALIZED (SELECT cast(count(*) AS double) AS n FROM seeds),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT n.node, CASE WHEN sd.node IS NOT NULL THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank
+  FROM nodes n LEFT JOIN seeds sd ON n.node = sd.node
+), {CHAIN}
+SELECT node, round(rank, 6) AS rank FROM {PREV}
+""".strip()
+        .replace("{SURFACES}", _surfaces_sql_list())
+        .replace("{NSURF}", str(len(_SURF)))
+        .replace("{CHAIN}", chain)
+        .replace("{PREV}", prev)
+    )
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T16 (engine extension): distributed BPE merge learning — the
     tokenizer-training step of an LLM data pipeline, run the way Sennrich
@@ -5675,6 +5761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g34_weighted_hops": q_weighted_hops,
         "g35_entity_scc": q_entity_scc,
         "g36_entity_hits": q_entity_hits,
+        "g37_personalized_pagerank": q_personalized_pagerank,
         "g30_comention_pmi": q_comention_pmi,
         "g13_sparql_star_path": q_sparql_star_path,
         "g14_sparql_minus_subquery": q_sparql_minus_subquery,
@@ -5807,6 +5894,7 @@ def oracle_sql() -> dict[str, str]:
         "g34_weighted_hops": _g34_sql(),
         "g35_entity_scc": _G35_SQL,
         "g36_entity_hits": _hits_sql(),
+        "g37_personalized_pagerank": _g37_sql(),
         "g30_comention_pmi": _g30_sql(),
         "g13_sparql_star_path": _G13_SQL,
         "g14_sparql_minus_subquery": _G14_SQL,

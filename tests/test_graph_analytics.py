@@ -429,3 +429,35 @@ def test_hits_partitioning_invariant(spark):
     for ra, rb in zip(a, b):
         assert ra[0] == rb[0]
         assert abs(ra[1] - rb[1]) < 1e-12 and abs(ra[2] - rb[2]) < 1e-12
+
+
+def test_personalized_pagerank_matches_py_twin(spark):
+    from knowledgegraphs_spark.operators.graph_analytics import (
+        personalized_pagerank,
+        personalized_pagerank_py,
+    )
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "c"), ("a", "b"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["rank"] for r in personalized_pagerank(df, seeds, iters=6).collect()}
+    exp = personalized_pagerank_py(edges, ["a"], iters=6)
+    assert set(got) == set(exp)
+    for n in exp:
+        assert abs(got[n] - exp[n]) < 1e-9, (n, got[n], exp[n])
+    # mass concentrates near the seed: a and its successor outrank the
+    # far node d
+    assert got["a"] > got["d"] and got["b"] > got["d"]
+
+
+def test_personalized_pagerank_requires_seed_in_graph(spark):
+    import pytest
+
+    from knowledgegraphs_spark.operators.graph_analytics import personalized_pagerank
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    seeds = spark.createDataFrame([("zz",)], "node string")
+    with pytest.raises(ValueError, match="seed"):
+        personalized_pagerank(df, seeds)
