@@ -4963,6 +4963,105 @@ FROM counts
 """.strip()
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11 (engine extension): SCD-2 dimension MERGE — the per-user
+    state dimension built from the first half of the event stream, then
+    merged with the second half's batch (latest state per user via a
+    map-side-combinable struct max). Exercises all three MERGE paths
+    (insert / close+open / unchanged no-op); one key-keyed full-outer
+    join, no dimension-wide windows. See ``temporal.scd2_merge``."""
+    from knowledgegraphs_spark.operators.temporal import scd2_merge
+
+    ev = _t(spark, sf_dir, "events")
+    cut = "2024-01-16"
+
+    def latest(df):
+        return (
+            df.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.event_type").alias("etype"),
+                F.col("m.ts").alias("ts"),
+            )
+        )
+
+    l1 = latest(ev.where(F.col("ts") < F.lit(cut).cast("timestamp")))
+    l2 = latest(ev.where(F.col("ts") >= F.lit(cut).cast("timestamp")))
+    dim0 = l1.select(
+        "user_id", "etype",
+        F.col("ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    return scd2_merge(dim0, l2, "user_id", ["etype"], "ts")
+
+
+_W11_SQL = """
+WITH l1 AS (
+  SELECT user_id, event_type AS etype, ts FROM (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE ts < TIMESTAMP '2024-01-16'
+  ) WHERE rk = 1
+), l2 AS (
+  SELECT user_id, event_type AS etype, ts FROM (
+    SELECT user_id, event_type, ts,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+    FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+  ) WHERE rk = 1
+), j AS (
+  SELECT coalesce(l1.user_id, l2.user_id) AS user_id,
+         l1.etype AS e1, l1.ts AS t1, l2.etype AS e2, l2.ts AS t2
+  FROM l1 FULL OUTER JOIN l2 USING (user_id)
+)
+SELECT user_id, e1 AS etype, t1 AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+FROM j WHERE t1 IS NOT NULL AND (t2 IS NULL OR e1 = e2)
+UNION ALL
+SELECT user_id, e1, t1, t2 FROM j WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND e1 <> e2
+UNION ALL
+SELECT user_id, e2, t2, CAST(NULL AS TIMESTAMP)
+FROM j WHERE t2 IS NOT NULL AND (t1 IS NULL OR e1 <> e2)
+""".strip()
+
+
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (engine extension): pairwise Pearson correlations across the
+    lineitem numeric measures — ONE pass, one aggregate row (every
+    ``F.corr`` merges distributed co-moments map-side), unpivoted to
+    long form via a literal struct explode. The standard profiling
+    matrix before feature selection / skew diagnosis."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[F.round(F.corr(a, b), 6).alias(f"{a}|{b}") for a, b in pairs]
+    )
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("col_a"),
+                        F.lit(b).alias("col_b"),
+                        F.col(f"{a}|{b}").alias("corr"),
+                    )
+                    for a, b in pairs
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+def _a13_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    selects = [
+        f"SELECT '{a}' AS col_a, '{b}' AS col_b, round(corr({a}, {b}), 6) AS corr FROM lineitem"
+        for a, b in pairs
+    ]
+    return "\nUNION ALL\n".join(selects)
+
+
 def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W9 (engine extension): ordered funnel analysis over the events
     stream — per user, the earliest ``view``, the earliest ``click``
@@ -5781,6 +5880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s15_zorder_codes": q_zorder_codes,
         "a12_skew_report": q_skew_report,
         "w10_cohort_retention": q_cohort_retention,
+        "w11_scd2_dimension": q_scd2_dimension,
+        "a13_correlation_matrix": q_correlation_matrix,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -5914,6 +6015,8 @@ def oracle_sql() -> dict[str, str]:
         "s15_zorder_codes": _s15_sql(),
         "a12_skew_report": _A12_SQL,
         "w10_cohort_retention": _W10_SQL,
+        "w11_scd2_dimension": _W11_SQL,
+        "a13_correlation_matrix": _a13_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,

@@ -95,3 +95,81 @@ def asof_join(
         F.col("valid_to").isNull() | (F.col("at") < F.col("valid_to"))
     )
     return snapshot_times.join(iv, cond)
+
+
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    attr_cols: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 MERGE: apply a batch of updates
+    to a versioned dimension, producing the new version history — the
+    lakehouse ``MERGE INTO`` pattern ``validity_intervals`` reads back.
+
+    ``dim`` carries ``(key_col, *attr_cols, valid_from, valid_to)`` with
+    ``valid_to IS NULL`` marking current rows; ``updates`` carries
+    ``(key_col, *attr_cols, ts_col)`` with AT MOST ONE row per key (the
+    caller pre-reduces a batch to latest-per-key — a map-side-combinable
+    ``max_by``; enforced here, not silently resolved). Semantics per
+    update row:
+
+    - key absent from the dimension → INSERT, ``valid_from = ts``;
+    - current attrs differ → CLOSE the current row (``valid_to = ts``)
+      and open a new version;
+    - current attrs identical → no-op (no empty versions — re-asserting
+      the same state must not grow history);
+    - an update at ``ts <= valid_from`` of the current row is an
+      out-of-order arrival and raises (SCD-2 is an append-only history;
+      late data belongs in a reprocessing pass, not a silent rewrite).
+
+    History rows (``valid_to IS NOT NULL``) pass through untouched.
+    Scale shape: one latest-per-key validation aggregate and one
+    key-keyed full-outer join — no windows over the dimension, no
+    iteration; everything map-side combines before the single shuffle.
+    """
+    attrs = list(attr_cols)
+    cur = dim.where(F.col("valid_to").isNull())
+    hist = dim.where(F.col("valid_to").isNotNull())
+
+    dup = updates.groupBy(key_col).agg(F.count(F.lit(1)).alias("n")).where(F.col("n") > 1)
+    if not dup.isEmpty():
+        raise ValueError("scd2_merge: updates must have at most one row per key")
+
+    u = updates.select(
+        key_col,
+        *[F.col(a).alias(f"__u_{a}") for a in attrs],
+        F.col(ts_col).alias("__u_ts"),
+    )
+    j = cur.join(u, key_col, "full_outer")
+    changed = F.col("__u_ts").isNotNull() & (
+        F.col("valid_from").isNull()  # brand-new key
+        | ~F.struct(*[F.col(a) for a in attrs]).eqNullSafe(
+            F.struct(*[F.col(f"__u_{a}") for a in attrs])
+        )
+    )
+    late = j.where(
+        F.col("__u_ts").isNotNull()
+        & F.col("valid_from").isNotNull()
+        & (F.col("__u_ts") <= F.col("valid_from"))
+        & changed
+    )
+    if not late.isEmpty():
+        raise ValueError("scd2_merge: out-of-order update at or before current valid_from")
+
+    untouched_cur = j.where(~changed & F.col("valid_from").isNotNull()).select(
+        key_col, *attrs, "valid_from", F.lit(None).cast("timestamp").alias("valid_to")
+    )
+    closed = j.where(changed & F.col("valid_from").isNotNull()).select(
+        key_col, *attrs, "valid_from", F.col("__u_ts").alias("valid_to")
+    )
+    opened = j.where(changed).select(
+        key_col,
+        *[F.col(f"__u_{a}").alias(a) for a in attrs],
+        F.col("__u_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    return hist.select(key_col, *attrs, "valid_from", "valid_to").unionByName(
+        untouched_cur
+    ).unionByName(closed).unionByName(opened)

@@ -135,3 +135,65 @@ def test_shacl_plan_has_no_python_udfs(kg):
     ]
     plan = validate(kg, shapes)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# scd2_merge: versioned dimension maintenance
+# ---------------------------------------------------------------------------
+
+
+def _ts(s):
+    import datetime as dt
+
+    return dt.datetime.fromisoformat(s)
+
+
+def test_scd2_merge_all_three_paths(spark):
+    import pytest
+
+    from knowledgegraphs_spark.operators.temporal import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            ("u1", "view", _ts("2024-01-01T00:00:00"), None),       # will change
+            ("u2", "click", _ts("2024-01-02T00:00:00"), None),      # unchanged
+            ("u3", "view", _ts("2024-01-01T00:00:00"),
+             _ts("2024-01-03T00:00:00")),                            # history row
+            ("u3", "error", _ts("2024-01-03T00:00:00"), None),      # current after history
+        ],
+        "user_id string, etype string, valid_from timestamp, valid_to timestamp",
+    )
+    upd = spark.createDataFrame(
+        [
+            ("u1", "purchase", _ts("2024-01-10T00:00:00")),
+            ("u2", "click", _ts("2024-01-11T00:00:00")),  # same attrs -> no-op
+            ("u4", "signup", _ts("2024-01-12T00:00:00")),  # new key
+        ],
+        "user_id string, etype string, ts timestamp",
+    )
+    out = scd2_merge(dim, upd, "user_id", ["etype"], "ts")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == sorted([
+        ("u1", "view", _ts("2024-01-01T00:00:00"), _ts("2024-01-10T00:00:00")),
+        ("u1", "purchase", _ts("2024-01-10T00:00:00"), None),
+        ("u2", "click", _ts("2024-01-02T00:00:00"), None),
+        ("u3", "view", _ts("2024-01-01T00:00:00"), _ts("2024-01-03T00:00:00")),
+        ("u3", "error", _ts("2024-01-03T00:00:00"), None),
+        ("u4", "signup", _ts("2024-01-12T00:00:00"), None),
+    ])
+
+    # duplicate update keys refuse rather than resolve silently
+    dup = spark.createDataFrame(
+        [("u1", "a", _ts("2024-02-01T00:00:00")), ("u1", "b", _ts("2024-02-02T00:00:00"))],
+        "user_id string, etype string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="one row per key"):
+        scd2_merge(dim, dup, "user_id", ["etype"], "ts")
+
+    # out-of-order update (at/before current valid_from) refuses
+    late = spark.createDataFrame(
+        [("u1", "zzz", _ts("2023-12-31T00:00:00"))],
+        "user_id string, etype string, ts timestamp",
+    )
+    with pytest.raises(ValueError, match="out-of-order"):
+        scd2_merge(dim, late, "user_id", ["etype"], "ts")
