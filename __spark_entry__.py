@@ -1948,6 +1948,56 @@ FROM q
 """.strip()
 
 
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 (engine extension): Matryoshka truncation audit — top-5
+    recall of prefix-truncated embeddings (8/16/32 of 64 dims) against
+    the full-dimension exact top-5, the measurement that sizes an ANN
+    index's shipped dimensionality. Each width is one brute-force pass
+    over F.slice-truncated vectors + an id-pair join; oracle re-derives
+    every width relationally. See ``simsearch.matryoshka_recall``."""
+    from knowledgegraphs_spark.operators.simsearch import matryoshka_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return matryoshka_recall(
+        emb, emb.filter(F.col("vec_id") < 20), dims=[8, 16, 32], k=5
+    )
+
+
+def _m11_sql(dims: tuple[int, ...] = (8, 16, 32), k: int = 5) -> str:
+    def topk_cte(name: str, arr: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        round(
+          list_sum(list_transform(generate_series(1, len(q.{arr})),
+                   i -> CAST(q.{arr}[i] AS DOUBLE) * CAST(c.{arr}[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.{arr}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c.{arr}, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) AS cosine
+      FROM emb q JOIN emb c ON q.vec_id < 20 AND q.vec_id <> c.vec_id
+    )
+  ) WHERE rank <= {k}
+)"""
+
+    ctes = ["emb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings)"]
+    ctes.append(topk_cte("gt", "embedding"))
+    selects = []
+    for d in dims:
+        ctes.append(
+            f"emb{d} AS MATERIALIZED (SELECT vec_id, embedding[1:{d}] AS e{d} FROM embeddings)"
+        )
+        ctes.append(
+            topk_cte(f"t{d}", f"e{d}").replace("FROM emb q JOIN emb c", f"FROM emb{d} q JOIN emb{d} c")
+        )
+        selects.append(
+            f"SELECT {d} AS dim, round((SELECT count(*) FROM t{d} JOIN gt USING (query_id, neighbor_id))"
+            f" / CAST((SELECT count(*) FROM gt) AS DOUBLE), 6) AS recall"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash bucket candidates (numpy-vectorized pandas UDF)."""
     from knowledgegraphs_spark.operators.dedup import simhash_candidates
@@ -5904,6 +5954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_skipgram_pairs": q_skipgram_pairs,
         "m9_shard_plan": q_shard_plan,
         "m10_embedding_quantization": q_embedding_quantization,
+        "m11_matryoshka_recall": q_matryoshka_recall,
         "t12_leakage_free_split": q_leakage_free_split,
         "a10_countmin_heavy_hitters": q_countmin_heavy_hitters,
         "t13_bigram_logprob": q_bigram_logprob,
@@ -6039,6 +6090,7 @@ def oracle_sql() -> dict[str, str]:
         "t11_skipgram_pairs": _T11_SQL,
         "m9_shard_plan": _M9_SQL,
         "m10_embedding_quantization": _M10_SQL,
+        "m11_matryoshka_recall": _m11_sql(),
         "t12_leakage_free_split": _t12_sql(),
         "a10_countmin_heavy_hitters": _A10_SQL,
         "t13_bigram_logprob": _T13_SQL,

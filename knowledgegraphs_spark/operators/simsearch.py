@@ -555,3 +555,39 @@ def scalar_quantize(
         "qvec",
         F.round(F.sqrt(sq_err / F.size("__v")), 6).alias("rmse"),
     )
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2022, MRL): top-k
+    recall of PREFIX-truncated embeddings against the full-dimension
+    ground truth, per truncation width — the measurement that decides
+    how many dimensions an ANN corpus actually needs to ship (a 64→8
+    truncation is an 8× index-memory and bandwidth cut if recall
+    holds). Returns ``(dim, recall)``, recall = |topk_trunc ∩
+    topk_full| / |topk_full| summed over queries.
+
+    Each width is one :func:`brute_force_topk` pass over prefix-sliced
+    vectors (``F.slice`` — a zero-shuffle projection) plus an id-pair
+    join against the ground truth; per-width hit counts are aggregate
+    scalars (driver-scale by definition)."""
+    gt = brute_force_topk(corpus, queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    total = gt.count()
+    rows = []
+    for d in dims:
+        tc = corpus.select(id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        tq = queries.select(id_col, F.slice(F.col(vec_col), 1, d).alias(vec_col))
+        tk = brute_force_topk(tc, tq, k, id_col, vec_col).select(
+            "query_id", "neighbor_id"
+        )
+        hits = tk.join(gt, ["query_id", "neighbor_id"]).count()
+        rows.append((d, round(hits / total, 6) if total else 0.0))
+    return corpus.sparkSession.createDataFrame(rows, "dim int, recall double")
