@@ -1948,6 +1948,101 @@ FROM q
 """.strip()
 
 
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 (engine extension): Okapi BM25 lexical retrieval over the
+    document corpus — tf/df/doclen statistics as map-side-combined
+    aggregates, query scoring as a term-keyed semi-join of posting rows
+    + one doc-keyed sum (the inverted-index access path), Lucene
+    non-negative idf. The lexical half of the hybrid stack next to the
+    dense s1–s3 family. See ``retrieval.bm25_scores``."""
+    from knowledgegraphs_spark.operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_scores(docs, ["transfer", "report", "pending"], top_n=10)
+
+
+_X19_TERMS_SQL = "VALUES ('pending'), ('report'), ('transfer')"
+
+_X19_CTES = """
+toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS MATERIALIZED (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), dl AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1
+), stats AS MATERIALIZED (
+  SELECT (SELECT CAST(count(*) AS DOUBLE) FROM documents) AS n_docs,
+         (SELECT avg(dl) FROM dl) AS avgdl
+), qt(term) AS ({TERMS}),
+dfv AS MATERIALIZED (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf JOIN qt USING (term) GROUP BY term
+), bm25 AS MATERIALIZED (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1 + (s.n_docs - dfv.df + 0.5) / (dfv.df + 0.5))
+           * (tf.tf / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)))
+         ), 6) AS score
+  FROM tf JOIN qt USING (term) JOIN dfv USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+""".strip().replace("{TERMS}", _X19_TERMS_SQL)
+
+_X19_SQL = f"""
+WITH {_X19_CTES}
+SELECT doc_id, score, cast(row_number() OVER (ORDER BY score DESC, doc_id) AS int) AS rank
+FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
+""".strip()
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12 (engine extension): hybrid retrieval by reciprocal-rank
+    fusion — the BM25 lexical top-20 (x19's scorer) fused with the
+    dense cosine top-20 for query vector 0 (s1's exact scorer) via
+    ``Σ 1/(60 + rank)``; rank-only fusion needs no score calibration
+    between the unbounded BM25 scale and cosine. doc_id and vec_id
+    share the synthetic corpus's id space. See ``retrieval.rrf_fuse``."""
+    from knowledgegraphs_spark.operators.retrieval import bm25_scores, rrf_fuse
+    from knowledgegraphs_spark.operators.simsearch import brute_force_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores(docs, ["transfer", "report", "pending"], top_n=20)
+    dense = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex, dense], k=60, top_n=10)
+
+
+_M12_SQL = f"""
+WITH {_X19_CTES},
+lex AS MATERIALIZED (
+  SELECT doc_id, cast(row_number() OVER (ORDER BY score DESC, doc_id) AS int) AS rank
+  FROM bm25 ORDER BY score DESC, doc_id LIMIT 20
+), dense AS MATERIALIZED (
+  SELECT neighbor_id AS doc_id, rank FROM (
+    SELECT c.vec_id AS neighbor_id,
+           cast(row_number() OVER (ORDER BY
+             round(
+               list_sum(list_transform(generate_series(1, len(q.embedding)),
+                        i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 6) DESC,
+             c.vec_id) AS int) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id = 0 AND c.vec_id <> 0
+  ) WHERE rank <= 20
+), fused AS (
+  SELECT doc_id, round(sum(1.0 / (60 + rank)), 6) AS rrf_score
+  FROM (SELECT doc_id, rank FROM lex UNION ALL SELECT doc_id, rank FROM dense)
+  GROUP BY doc_id
+)
+SELECT doc_id, rrf_score, cast(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS int) AS rank
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 10
+""".strip()
+
+
 def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11 (engine extension): Matryoshka truncation audit — top-5
     recall of prefix-truncated embeddings (8/16/32 of 64 dims) against
@@ -5949,6 +6044,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x16_tfidf_keywords": q_tfidf_keywords,
         "x17_phonetic_blocks": q_phonetic_blocks,
         "x18_jaro_winkler_pairs": q_jaro_winkler_pairs,
+        "x19_bm25_search": q_bm25_search,
+        "m12_hybrid_rrf": q_hybrid_rrf,
         "m7_negative_samples": q_negative_samples,
         "m8_ranking_metrics": q_ranking_metrics,
         "t11_skipgram_pairs": q_skipgram_pairs,
@@ -6085,6 +6182,8 @@ def oracle_sql() -> dict[str, str]:
         "x16_tfidf_keywords": _X16_SQL,
         "x17_phonetic_blocks": _x17_sql(),
         "x18_jaro_winkler_pairs": _x18_sql(),
+        "x19_bm25_search": _X19_SQL,
+        "m12_hybrid_rrf": _M12_SQL,
         "m7_negative_samples": _M7_SQL,
         "m8_ranking_metrics": _M8_SQL,
         "t11_skipgram_pairs": _T11_SQL,

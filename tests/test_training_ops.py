@@ -844,3 +844,41 @@ def test_event_funnel_strict_ordering(spark, monkeypatch):
     assert got["view"] == (2, 1.0)
     assert got["click"] == (2, 1.0)
     assert got["purchase"] == (1, 0.5)
+
+
+def test_bm25_term_rarity_and_tf_saturation(spark):
+    from knowledgegraphs_spark.operators.retrieval import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple apple banana"),
+            (3, "apple kiwi kiwi"),
+            (4, "plum plum plum"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: (r["score"], r["rank"]) for r in
+           bm25_scores(docs, ["kiwi", "apple"], top_n=4).collect()}
+    # doc 4 has neither term -> absent
+    assert 4 not in out and len(out) == 3
+    # kiwi is rare (df=1) -> doc 3 outranks the apple-stuffed doc 2
+    assert out[3][1] == 1
+    # tf saturation: doc 2's 4x apple beats doc 1's 1x apple, but far
+    # less than 4x the score
+    assert out[2][0] > out[1][0] < out[2][0] * 4
+
+
+def test_rrf_fuse_rank_only(spark):
+    import pytest
+
+    from knowledgegraphs_spark.operators.retrieval import rrf_fuse
+
+    r1 = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id int, rank int")
+    r2 = spark.createDataFrame([(20, 1), (40, 2)], "doc_id int, rank int")
+    got = {r["doc_id"]: r["rank"] for r in rrf_fuse([r1, r2], k=60).collect()}
+    # 20 appears in both lists -> fused winner despite never ranking 1st+1st
+    assert got[20] == 1
+    assert set(got) == {10, 20, 30, 40}
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([])
