@@ -30,6 +30,17 @@ NESTED_LOOP_OK = {
     # the pattern against a 1-row anchor — the nested-loop side is at most
     # one row by construction (operators/sparql.py:sparql_ask)
     "g16_sparql_ask",
+    # hybrid RRF fuses the dense exact top-k (query side broadcast,
+    # bounded cardinality — the s1 scorer) with BM25
+    "m12_hybrid_rrf",
+    # ONE-ROW broadcast aggregate cross joins by construction: BM25's
+    # (n_docs, avgdl) corpus statistics, the skew report's top-10 sum,
+    # and HITS' per-half-step normalization total are single-row
+    # relations joined into every row — a scalar fan-out, not an
+    # all-pairs join
+    "x19_bm25_search",
+    "a12_skew_report",
+    "g36_entity_hits",
 }
 
 
