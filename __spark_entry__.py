@@ -5049,6 +5049,115 @@ FROM lineitem
 """.strip()
 
 
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 (engine extension): non-equi point-in-interval join,
+    bucketized — per supplier, the distinct orders placed anywhere in
+    the market while one of that supplier's big shipments (quantity ≥
+    49) was in transit ``[l_shipdate, l_shipdate + l_quantity days]``.
+    No equi key exists between the sides; the naive BETWEEN join is a
+    nested loop. The engine quantizes to 7-day buckets (explode ≈
+    width/7 rows per interval, each point maps to ONE bucket → no
+    dedup), hash-joins on the bucket, re-checks the exact predicate.
+    The ORACLE is the naive theta join, so the bucketized plan is
+    value-checked against the definition. See
+    ``ranges.interval_point_join``."""
+    from knowledgegraphs_spark.operators.ranges import interval_point_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    windows = li.where(F.col("l_quantity") >= 49).select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.col("l_shipdate").cast("date").alias("t_start"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"), F.col("l_quantity").cast("int")
+        ).alias("t_end"),
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate")
+    )
+    joined = interval_point_join(
+        windows, orders, "t_start", "t_end", "o_orderdate", bucket_days=7
+    )
+    return joined.groupBy("l_suppkey").agg(
+        F.countDistinct("l_orderkey", "l_linenumber").alias("n_windows"),
+        F.countDistinct("o_orderkey").alias("n_orders_in_transit"),
+    )
+
+
+_J10_SQL = """
+WITH w AS (
+  SELECT l_suppkey, l_orderkey, l_linenumber,
+         CAST(l_shipdate AS DATE) AS t_start,
+         CAST(l_shipdate AS DATE) + CAST(l_quantity AS INT) AS t_end
+  FROM lineitem WHERE l_quantity >= 49
+), j AS (
+  SELECT w.l_suppkey, w.l_orderkey, w.l_linenumber, o.o_orderkey
+  FROM w JOIN orders o ON CAST(o.o_orderdate AS DATE) BETWEEN w.t_start AND w.t_end
+)
+SELECT l_suppkey,
+       CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_windows,
+       CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders_in_transit
+FROM j GROUP BY l_suppkey
+""".strip()
+
+
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 (engine extension): ANALYZE-style column statistics for the
+    lineitem measures — count / nulls / exact NDV / min / max /
+    quartiles in ONE aggregate pass (every statistic merges map-side;
+    F.percentile is the distributed exact quantile), unpivoted via a
+    literal struct explode. These are the stats a cost-based optimizer
+    (and a skew-aware human) reads before picking join order and
+    partition counts."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).cast("double").alias(f"{c}|n"),
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("double").alias(f"{c}|nulls"),
+            F.countDistinct(F.col(c)).cast("double").alias(f"{c}|ndv"),
+            F.min(F.col(c)).cast("double").alias(f"{c}|min"),
+            F.max(F.col(c)).cast("double").alias(f"{c}|max"),
+            F.round(F.percentile(F.col(c).cast("double"), 0.25), 6).alias(f"{c}|p25"),
+            F.round(F.percentile(F.col(c).cast("double"), 0.5), 6).alias(f"{c}|p50"),
+            F.round(F.percentile(F.col(c).cast("double"), 0.75), 6).alias(f"{c}|p75"),
+        ]
+    agg = li.agg(*aggs)
+    stats = ["n", "nulls", "ndv", "min", "max", "p25", "p50", "p75"]
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.lit(s).alias("stat"),
+                        F.col(f"{c}|{s}").alias("value"),
+                    )
+                    for c in cols
+                    for s in stats
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+def _a14_sql() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    rows = []
+    for c in cols:
+        rows += [
+            f"SELECT '{c}' AS col_name, 'n' AS stat, CAST(count({c}) AS DOUBLE) AS value FROM lineitem",
+            f"SELECT '{c}', 'nulls', CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS DOUBLE) FROM lineitem",
+            f"SELECT '{c}', 'ndv', CAST(count(DISTINCT {c}) AS DOUBLE) FROM lineitem",
+            f"SELECT '{c}', 'min', CAST(min({c}) AS DOUBLE) FROM lineitem",
+            f"SELECT '{c}', 'max', CAST(max({c}) AS DOUBLE) FROM lineitem",
+            f"SELECT '{c}', 'p25', round(quantile_cont(CAST({c} AS DOUBLE), 0.25), 6) FROM lineitem",
+            f"SELECT '{c}', 'p50', round(quantile_cont(CAST({c} AS DOUBLE), 0.5), 6) FROM lineitem",
+            f"SELECT '{c}', 'p75', round(quantile_cont(CAST({c} AS DOUBLE), 0.75), 6) FROM lineitem",
+        ]
+    return "\nUNION ALL\n".join(rows)
+
+
 def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A12 (engine extension): key-skew diagnostics for
     ``orders.o_custkey`` — the pre-flight report a 100-TB pipeline runs
@@ -6027,6 +6136,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w10_cohort_retention": q_cohort_retention,
         "w11_scd2_dimension": q_scd2_dimension,
         "a13_correlation_matrix": q_correlation_matrix,
+        "j10_interval_join": q_interval_join,
+        "a14_table_stats": q_table_stats,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
         "w6_conversation_episodes": q_conversation_episodes,
@@ -6165,6 +6276,8 @@ def oracle_sql() -> dict[str, str]:
         "w10_cohort_retention": _W10_SQL,
         "w11_scd2_dimension": _W11_SQL,
         "a13_correlation_matrix": _a13_sql(),
+        "j10_interval_join": _J10_SQL,
+        "a14_table_stats": _a14_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
         "w6_conversation_episodes": _EPISODES_SQL,
