@@ -5049,6 +5049,86 @@ FROM lineitem
 """.strip()
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 (engine extension): the TPC-H Q3 shape — customer ⋈ orders ⋈
+    lineitem with selective date predicates on both fact sides, revenue
+    aggregation, top-10 by revenue. Exercises the multi-join analytical
+    plan (dim broadcast + fact-fact shuffle join, predicate pushdown to
+    every scan) the single-operator queries don't."""
+    cut = F.lit("1995-03-15").cast("timestamp")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_J11_SQL = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""".strip()
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12 (engine extension): the TPC-H Q5 shape — a 6-way
+    star-plus-snowflake join (region → nation → {customer, supplier} →
+    orders → lineitem) with the customer-and-supplier-same-nation
+    predicate, revenue per nation. The join-reordering / broadcast-mix
+    stress the oracle checks end to end."""
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        r.join(n, r["r_regionkey"] == n["n_regionkey"])
+        .join(c, n["n_nationkey"] == c["c_nationkey"])
+        .join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == n["n_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+
+
+_J12_SQL = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM region JOIN nation ON r_regionkey = n_regionkey
+JOIN customer ON n_nationkey = c_nationkey
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+""".strip()
+
+
 def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J10 (engine extension): non-equi point-in-interval join,
     bucketized — per supplier, the distinct orders placed anywhere in
@@ -6137,6 +6217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w11_scd2_dimension": q_scd2_dimension,
         "a13_correlation_matrix": q_correlation_matrix,
         "j10_interval_join": q_interval_join,
+        "j11_shipping_priority": q_shipping_priority,
+        "j12_local_supplier_volume": q_local_supplier_volume,
         "a14_table_stats": q_table_stats,
         "f9_veto_filter": q_veto_filter,
         "m4_context_score": q_context_score,
@@ -6277,6 +6359,8 @@ def oracle_sql() -> dict[str, str]:
         "w11_scd2_dimension": _W11_SQL,
         "a13_correlation_matrix": _a13_sql(),
         "j10_interval_join": _J10_SQL,
+        "j11_shipping_priority": _J11_SQL,
+        "j12_local_supplier_volume": _J12_SQL,
         "a14_table_stats": _a14_sql(),
         "f9_veto_filter": _F9_SQL,
         "m4_context_score": _M4_SQL,
