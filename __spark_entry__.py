@@ -5049,6 +5049,70 @@ FROM lineitem
 """.strip()
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12 (engine extension): temporal-KG snapshot DIFF — the audit
+    query between two as-of reconstructions (g24's machinery at two
+    cutoffs): which (subj, pred) facts were added, and which changed
+    value, between Jan 10 and Jan 20. Two window-keyed snapshots + one
+    full-outer join on the fact key; each side's cutoff filter is
+    pushed to the scan. Change classes: 'added' (absent before) and
+    'changed' (value differs) — removals cannot occur under
+    latest-assertion-wins (the add-only stream), so their absence is
+    part of the contract."""
+    from knowledgegraphs_spark.operators.temporal import asof_snapshot
+
+    ev = _t(spark, sf_dir, "events")
+    assertions = ev.select(
+        F.concat(F.lit("kg:User_"), F.col("user_id").cast("string")).alias("subj"),
+        F.concat(F.lit("kg:last_"), F.col("event_type")).alias("pred"),
+        F.col("value").alias("obj_val"),
+        F.col("ts").alias("asserted_ts"),
+        "event_id",
+    )
+    t1, t2 = "2024-01-10 00:00:00", "2024-01-20 00:00:00"
+    s1 = asof_snapshot(assertions, t1, tie_break="event_id").select(
+        "subj", "pred", F.col("obj_val").alias("v1")
+    )
+    s2 = asof_snapshot(assertions, t2, tie_break="event_id").select(
+        "subj", "pred", F.col("obj_val").alias("v2")
+    )
+    j = s1.join(s2, ["subj", "pred"], "full_outer")
+    return j.where(
+        F.col("v1").isNull() | (F.col("v1") != F.col("v2"))
+    ).select(
+        "subj", "pred",
+        F.when(F.col("v1").isNull(), F.lit("added")).otherwise(F.lit("changed")).alias("change"),
+        "v1", "v2",
+    )
+
+
+_W12_SQL = """
+WITH t AS (
+  SELECT 'kg:User_' || cast(user_id AS varchar) AS subj,
+         'kg:last_' || event_type AS pred,
+         value AS obj_val, ts AS asserted_ts, event_id
+  FROM events
+), s1 AS (
+  SELECT subj, pred, obj_val AS v1 FROM (
+    SELECT subj, pred, obj_val, row_number() OVER (
+      PARTITION BY subj, pred ORDER BY asserted_ts DESC, event_id DESC) AS rn
+    FROM t WHERE asserted_ts <= TIMESTAMP '2024-01-10 00:00:00'
+  ) WHERE rn = 1
+), s2 AS (
+  SELECT subj, pred, obj_val AS v2 FROM (
+    SELECT subj, pred, obj_val, row_number() OVER (
+      PARTITION BY subj, pred ORDER BY asserted_ts DESC, event_id DESC) AS rn
+    FROM t WHERE asserted_ts <= TIMESTAMP '2024-01-20 00:00:00'
+  ) WHERE rn = 1
+)
+SELECT coalesce(s1.subj, s2.subj) AS subj, coalesce(s1.pred, s2.pred) AS pred,
+       CASE WHEN s1.v1 IS NULL THEN 'added' ELSE 'changed' END AS change,
+       s1.v1, s2.v2
+FROM s1 FULL OUTER JOIN s2 ON s1.subj = s2.subj AND s1.pred = s2.pred
+WHERE s1.v1 IS NULL OR s1.v1 <> s2.v2
+""".strip()
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J11 (engine extension): the TPC-H Q3 shape — customer ⋈ orders ⋈
     lineitem with selective date predicates on both fact sides, revenue
@@ -6215,6 +6279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_skew_report": q_skew_report,
         "w10_cohort_retention": q_cohort_retention,
         "w11_scd2_dimension": q_scd2_dimension,
+        "w12_snapshot_diff": q_snapshot_diff,
         "a13_correlation_matrix": q_correlation_matrix,
         "j10_interval_join": q_interval_join,
         "j11_shipping_priority": q_shipping_priority,
@@ -6357,6 +6422,7 @@ def oracle_sql() -> dict[str, str]:
         "a12_skew_report": _A12_SQL,
         "w10_cohort_retention": _W10_SQL,
         "w11_scd2_dimension": _W11_SQL,
+        "w12_snapshot_diff": _W12_SQL,
         "a13_correlation_matrix": _a13_sql(),
         "j10_interval_join": _J10_SQL,
         "j11_shipping_priority": _J11_SQL,
