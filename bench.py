@@ -28,11 +28,19 @@ evidence. NOTE: the gate sees OUR OWN decaying load too (1-min EMA), so
 mid-run waits double as settle time between phases; the gate threshold is
 about honesty of the recorded number, not blame.
 
+Round-5 protocol: the per-query {cold, warm} sweep additionally lands in
+its OWN small file (default ``BENCH/sweep_r5.json`` next to this script,
+override with SPARK_GRAFT_SWEEP_OUT) — the round-4 artifact lost 81 of
+108 sweep entries because the full stdout line outgrew the driver's tail
+capture; the stdout record now carries a ``queries_all_file`` pointer
+instead of the inline sweep.
+
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      SPARK_GRAFT_BENCH_CONV (synthetic conversations for the e2e run),
      SPARK_GRAFT_SCALING=0 to skip the two-level scaling runs,
      SPARK_GRAFT_SWEEP=0 to skip the all-queries sweep,
+     SPARK_GRAFT_SWEEP_OUT (sweep file path),
      SPARK_GRAFT_LOAD_GATE (default 8.0),
      SPARK_GRAFT_LOAD_GATE_WAIT (max seconds to wait per gate, default 360).
 """
@@ -309,7 +317,30 @@ def main() -> None:
         "scaling": scaling,
     }
     if RUN_SWEEP:
-        out["queries_all"] = dict(sorted(sweep.items()))
+        # the full sweep goes to its own file (round-4 VERDICT item: the
+        # inline sweep outgrew the driver's tail capture and 81/108 pairs
+        # were lost from the artifact); stdout carries only the pointer.
+        sweep_out = os.environ.get(
+            "SPARK_GRAFT_SWEEP_OUT",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "sweep_r5.json"),
+        )
+        os.makedirs(os.path.dirname(sweep_out), exist_ok=True)
+        with open(sweep_out, "w") as f:
+            json.dump(
+                {
+                    "sf": sf_val,
+                    "unit": "sec",
+                    "rep_protocol": "cold/warm pair per query",
+                    "queries_all": dict(sorted(sweep.items())),
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+            f.write("\n")
+        out["queries_all_file"] = os.path.relpath(
+            sweep_out, os.path.dirname(os.path.abspath(__file__))
+        )
     # FULL record first, COMPACT headline LAST: the round-3 artifact came
     # back "parsed": null because the single (now multi-KB) JSON line
     # outgrew the driver's tail capture — the last line printed must always

@@ -6,10 +6,12 @@ tokenizer-training pass a pretraining pipeline runs after curation and
 before packing —
 
     word-frequency dictionary (ONE corpus-scale pass, `bpe.word_vocab`)
-      → n BPE merges learned vocabulary-scale (`bpe.learn_bpe_merges`)
-      → segmented vocabulary under the learned merges
-        (`bpe.segment_vocab` — per-word subtoken arrays, the lookup
-        table per-document tokenization joins against)
+      → n BPE merges learned vocabulary-scale, `--batch-size` disjoint
+        merges per count round (`bpe.train_bpe`)
+      → segmented vocabulary under the learned merges — the learner's
+        own final symbol table, reused rather than recomputed (per-word
+        subtoken arrays, the lookup table per-document tokenization
+        joins against)
 
 and writes `<workdir>/merges` (rank, lhs, rhs, pair_count — the
 tokenizer artifact, learning-ordered) plus `<workdir>/vocab`
@@ -42,6 +44,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--input", required=True, help="parquet path of the documents table")
     ap.add_argument("--workdir", required=True, help="output root")
     ap.add_argument("--n-merges", type=int, default=200)
+    ap.add_argument(
+        "--batch-size",
+        type=int,
+        default=8,
+        help="symbol-disjoint merges committed per count round (1 = exact "
+        "sequential greedy; production vocabularies want hundreds)",
+    )
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--app-name", default="train-tokenizer")
     args = ap.parse_args(argv)
@@ -56,23 +65,20 @@ def main(argv: list[str] | None = None) -> int:
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
 
-    from knowledgegraphs_spark.operators.bpe import (
-        learn_bpe_merges,
-        segment_vocab,
-        word_vocab,
-    )
+    from knowledgegraphs_spark.operators.bpe import train_bpe
 
     t0 = time.time()
     docs = spark.read.parquet(args.input).select(args.text_col)
-    merges_df = learn_bpe_merges(docs, n_merges=args.n_merges, text_col=args.text_col)
+    merges_df, vocab, rounds = train_bpe(
+        docs,
+        n_merges=args.n_merges,
+        text_col=args.text_col,
+        batch_size=args.batch_size,
+    )
     merges_out = args.workdir.rstrip("/") + "/merges"
     merges_df.write.mode("overwrite").parquet(merges_out)
+    n_merges_learned = spark.read.parquet(merges_out).count()
 
-    merges = [
-        (r["lhs"], r["rhs"])
-        for r in spark.read.parquet(merges_out).orderBy("rank").collect()
-    ]
-    vocab = segment_vocab(word_vocab(docs, args.text_col), merges)
     vocab_out = args.workdir.rstrip("/") + "/vocab"
     vocab.write.mode("overwrite").parquet(vocab_out)
 
@@ -87,7 +93,8 @@ def main(argv: list[str] | None = None) -> int:
             {
                 "merges": merges_out,
                 "vocab": vocab_out,
-                "n_merges_learned": len(merges),
+                "n_merges_learned": n_merges_learned,
+                "count_rounds": rounds,
                 "n_words": stats["n_words"],
                 "corpus_chars": int(stats["chars"] or 0),
                 "corpus_subtokens": int(stats["subtokens"] or 0),

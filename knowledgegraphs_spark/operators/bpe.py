@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from .text_analysis import alpha_tokens
 
-__all__ = ["word_vocab", "learn_bpe_merges", "apply_merge", "segment_vocab"]
+__all__ = ["word_vocab", "learn_bpe_merges", "train_bpe", "apply_merge", "segment_vocab"]
 
 
 def word_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -92,37 +92,98 @@ def apply_merge(syms: Column, left: str, right: str) -> Column:
     )
 
 
-def learn_bpe_merges(
-    docs: DataFrame, n_merges: int = 25, text_col: str = "text"
-) -> DataFrame:
-    """Learn the top-``n_merges`` BPE merges: ``(rank, lhs, rhs,
-    pair_count)`` in learning order. Each iteration's pair statistics see
-    all previous merges applied (the defining property of BPE — counts
-    at step k are over the step-k symbol sequences, not the raw chars).
-    """
+def _train(
+    docs: DataFrame, n_merges: int, text_col: str, batch_size: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame, int]:
+    """Shared learner: returns (merge list, final merged vocab, rounds).
+
+    With ``batch_size > 1`` each round collects the top ``batch_size``
+    pairs and applies the longest symbol-disjoint PREFIX of that ranking
+    in one chained fold — the standard distributed-BPE batching.
+    Disjoint pairs have invariant counts under each other's application,
+    so the batch coincides with sequential greedy except when a batch
+    member's application would have created a brand-new pair (one
+    containing its fused symbol) outranking a later member — rare in
+    natural corpora and impossible for fully symbol-disjoint greedy
+    chains, which is what the equality tests pin. ``batch_size=1`` is
+    the exact sequential path (the oracle twin)."""
     if n_merges <= 0:
         raise ValueError(f"learn_bpe_merges: n_merges must be positive, got {n_merges}")
-    spark = docs.sparkSession
+    if batch_size < 1:
+        raise ValueError(f"learn_bpe_merges: batch_size must be >= 1, got {batch_size}")
     vocab = word_vocab(docs, text_col).localCheckpoint(eager=True)
     merges: list[tuple[int, str, str, int]] = []
-    for k in range(n_merges):
-        # driver-scale argmax: exactly one row crosses the boundary
+    rounds = 0
+    while len(merges) < n_merges:
+        want = min(batch_size, n_merges - len(merges))
+        # driver-scale argmax: a small multiple of batch_size rows cross
+        # the boundary (the over-fetch gives the disjointness filter
+        # room; pairs skipped here are re-counted next round)
         top = (
             _pair_counts(vocab)
             .orderBy(F.desc("pair_count"), F.asc("l"), F.asc("r"))
-            .limit(1)
+            .limit(max(8 * want, want))
             .collect()
         )
+        rounds += 1
         if not top:
             break
-        l, r, cnt = top[0]["l"], top[0]["r"], int(top[0]["pair_count"])
-        merges.append((k, l, r, cnt))
-        vocab = vocab.withColumn("syms", apply_merge(F.col("syms"), l, r)).localCheckpoint(
-            eager=True
-        )
-    return spark.createDataFrame(
+        used: set[str] = set()
+        batch: list[tuple[str, str, int]] = []
+        for row in top:
+            if len(batch) >= want:
+                break
+            l, r = row["l"], row["r"]
+            # SKIP pairs overlapping an already-selected one (their counts
+            # go stale the moment that merge lands) and keep scanning:
+            # every selected pair's count is exact given the others, since
+            # disjoint merges cannot change each other's adjacencies
+            if l in used or r in used:
+                continue
+            batch.append((l, r, int(row["pair_count"])))
+            used.update((l, r))
+        for l, r, cnt in batch:
+            merges.append((len(merges), l, r, cnt))
+        col = F.col("syms")
+        for l, r, _ in batch:
+            col = apply_merge(col, l, r)
+        vocab = vocab.withColumn("syms", col).localCheckpoint(eager=True)
+    return merges, vocab, rounds
+
+
+def learn_bpe_merges(
+    docs: DataFrame, n_merges: int = 25, text_col: str = "text", batch_size: int = 1
+) -> DataFrame:
+    """Learn the top-``n_merges`` BPE merges: ``(rank, lhs, rhs,
+    pair_count)`` in learning order. Each round's pair statistics see
+    all previous rounds' merges applied (the defining property of BPE —
+    counts at step k are over the step-k symbol sequences, not the raw
+    chars). ``batch_size`` bounds how many symbol-disjoint merges one
+    round may commit (see :func:`_train`); the default 1 is exact
+    sequential greedy. A production tokenizer run (30-50k merges) should
+    pass ``batch_size`` in the hundreds — rounds, and therefore driver
+    round-trips, shrink ~batch_size-fold."""
+    merges, _, _ = _train(docs, n_merges, text_col, batch_size)
+    return docs.sparkSession.createDataFrame(
         merges, "rank int, lhs string, rhs string, pair_count bigint"
     )
+
+
+def train_bpe(
+    docs: DataFrame, n_merges: int = 25, text_col: str = "text", batch_size: int = 1
+) -> tuple[DataFrame, DataFrame, int]:
+    """Train merges AND return the segmented vocabulary in one corpus
+    pass: ``(merges_df, vocab_df, rounds)``. The learner's final vocab
+    already carries every merge applied, so callers that need both (the
+    tokenizer job) get the segmented table for free instead of
+    re-running ``word_vocab`` + ``segment_vocab`` — one corpus-scale
+    scan total. ``rounds`` is the number of count→argmax→fold rounds
+    actually executed (the batching win, surfaced for assertions)."""
+    merges, vocab, rounds = _train(docs, n_merges, text_col, batch_size)
+    merges_df = docs.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count bigint"
+    )
+    return merges_df, vocab.withColumn("n_subtokens", F.size("syms")), rounds
 
 
 def segment_vocab(vocab: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:

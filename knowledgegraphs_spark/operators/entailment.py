@@ -295,13 +295,51 @@ def owl_rl_materialize(
     def _b(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if broadcast_schema else df
 
-    eqp = _owl_pairs(base, "equivalentProperty").localCheckpoint(eager=True)
-    eqc = _owl_pairs(base, "equivalentClass").localCheckpoint(eager=True)
-    inv = _owl_pairs(base, "inverseOf").localCheckpoint(eager=True)
-    sym_props = _typed_props(base, "SymmetricProperty")
-    trans_props = _typed_props(base, "TransitiveProperty")
-    fp_props = _typed_props(base, "FunctionalProperty")
-    ifp_props = _typed_props(base, "InverseFunctionalProperty")
+    # ONE TBox collect instead of seven per-term scans: the pair axioms
+    # (inverseOf / equivalent*) and the four property-class declarations
+    # are all TBox-sized, so a single filtered pass pulls them together
+    # (the type-row side stays bounded because it is filtered on the OWL
+    # class vocabulary in the object position, never all rdf:type rows).
+    # At instance scale this is one scan of the input where the previous
+    # shape re-scanned it per schema relation.
+    spark = base.sparkSession
+    pair_preds = [
+        v for k in ("inverseOf", "equivalentProperty", "equivalentClass") for v in _OWL_FORMS[k]
+    ]
+    prop_classes = (
+        "SymmetricProperty",
+        "TransitiveProperty",
+        "FunctionalProperty",
+        "InverseFunctionalProperty",
+    )
+    class_forms = [v for k in prop_classes for v in _OWL_FORMS[k]]
+    type_forms = list(_FORMS["type"])
+    tbox_rows = (
+        base.filter(
+            F.col("pred").isin(pair_preds)
+            | (F.col("pred").isin(type_forms) & F.col("obj").isin(class_forms))
+        )
+        .select(*spo)
+        .distinct()
+        .collect()
+    )
+
+    def _pairs_of(term: str) -> DataFrame:
+        forms = set(_OWL_FORMS[term])
+        rows = [(r["subj"], r["obj"]) for r in tbox_rows if r["pred"] in forms]
+        return spark.createDataFrame(rows, "p string, q string")
+
+    def _props_of(cls: str) -> list[str]:
+        forms = set(_OWL_FORMS[cls])
+        return sorted({r["subj"] for r in tbox_rows if r["pred"] in type_forms and r["obj"] in forms})
+
+    eqp = _pairs_of("equivalentProperty")
+    eqc = _pairs_of("equivalentClass")
+    inv = _pairs_of("inverseOf")
+    sym_props = _props_of("SymmetricProperty")
+    trans_props = _props_of("TransitiveProperty")
+    fp_props = _props_of("FunctionalProperty")
+    ifp_props = _props_of("InverseFunctionalProperty")
 
     def _both_dirs(pairs: DataFrame) -> DataFrame:
         return pairs.select(F.col("p").alias("child"), F.col("q").alias("parent")).unionByName(
@@ -314,7 +352,13 @@ def owl_rl_materialize(
     derived_spo1 = base.join(_b(spo_cl), base["pred"] == spo_cl["node"]).select(
         "subj", F.col("anc").alias("pred"), "obj"
     )
-    g1 = base.unionByName(derived_spo1)
+    # g1 is read by every later stratum (direction rules, transitive
+    # edges, domain/range, class typing, functional groupings) and its
+    # lineage embeds the full input scan; pinning it once keeps the final
+    # plan from replicating that scan per branch (~6x) and keeps the
+    # analyzed plan driver-tractable when the input is itself a deep
+    # union.  One instance-sized copy on executor storage, spill-backed.
+    g1 = base.unionByName(derived_spo1).localCheckpoint(eager=True)
 
     # -- stratum 2: direction rules (prp-inv both mirrors, prp-symp) ------
     inv_map = inv.unionByName(inv.select(F.col("q").alias("p"), F.col("p").alias("q")))
@@ -349,6 +393,12 @@ def owl_rl_materialize(
             F.substring_index("node", _TRP_SEP, 1).alias("pred"),
             F.expr(_node_rest.format(c="anc")).alias("obj"),
         )
+        # Strata 4-6 and the final union each re-reference this relation;
+        # without a checkpoint the whole O(log depth) pointer-doubling job
+        # DAG re-executes once per consumer (~5x).  The closure is already
+        # materialized round-by-round inside ancestor_closure_df, so
+        # pinning the final result adds no asymptotic memory.
+        derived_trp = derived_trp.localCheckpoint(eager=True)
     g3 = g2.unionByName(derived_trp) if derived_trp is not None else g2
 
     # -- stratum 4: domain / range over every derived edge so far --------

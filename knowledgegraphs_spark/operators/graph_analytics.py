@@ -824,6 +824,8 @@ def hits(edges: DataFrame, iters: int = 5) -> DataFrame:
     per half-step (each raw vector feeds both its own normalizer and
     the next join — no cross-branch CSE otherwise). Fixed iterations =
     deterministic, oracle-checkable."""
+    if iters < 1:
+        raise ValueError(f"hits: iters must be >= 1, got {iters}")
     edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("node"))

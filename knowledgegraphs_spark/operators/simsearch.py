@@ -315,6 +315,95 @@ def _centroid_structs(vec, centroids: list[tuple[int, list[float]]]):
     return F.array(*entries)
 
 
+# Above this centroid count, assignment switches from the inlined-literal
+# projection to a broadcast-join: k x dim literals in ONE expression tree
+# stalls Catalyst analysis/codegen long before the sqrt(N)-cluster regime
+# SemDeDup argues for (~31k centroids at N=1e9), while a broadcast of the
+# centroid TABLE scales to millions of rows. The two paths are
+# equality-tested (tests/test_simsearch.py) — same rounded cosines, same
+# lower-id tie break.
+CENTROID_LITERAL_MAX = 64
+
+
+def _centroid_table(spark, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cid int, cvec array<double>",
+    )
+
+
+def _assign_probes(
+    df: DataFrame,
+    vec_col_name: str,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+    key_cols: list[str],
+    literal_max: int | None = None,
+) -> DataFrame:
+    """``df`` + ``centroid_id``, one row per (row, probed centroid): each
+    row's ``n_probe`` nearest centroids by rounded cosine, ties to the
+    lower centroid id. ``n_probe=1`` is plain cluster assignment.
+
+    Below the literal ceiling: the zero-shuffle inlined projection
+    (:func:`_centroid_structs`). Above: broadcast nested-loop join
+    against the centroid table + a per-row rank — the fan-out is
+    k-bounded per row and the rank window partitions on ``key_cols``
+    (per-row groups, never global). Both paths produce identical rows.
+    """
+    limit = CENTROID_LITERAL_MAX if literal_max is None else literal_max
+    vec = F.col(vec_col_name)
+    if len(centroids) <= limit:
+        structs = F.slice(
+            F.sort_array(_centroid_structs(vec, centroids), asc=False), 1, n_probe
+        )
+        return (
+            df.withColumn("__probe", F.explode(structs))
+            .withColumn("centroid_id", -F.col("__probe.nid"))
+            .drop("__probe")
+        )
+    cent = F.broadcast(_centroid_table(df.sparkSession, centroids))
+    cos = F.round(cosine_col(vec, F.col("cvec")), 6)
+    scored = df.crossJoin(cent).withColumn("__cos", cos)
+    w = W.partitionBy(*key_cols).orderBy(F.col("__cos").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_probe)
+        .withColumn("centroid_id", F.col("cid"))
+        .drop("cvec", "cid", "__cos", "__rk")
+    )
+
+
+def _assign_best(
+    df: DataFrame,
+    vec_col_name: str,
+    centroids: list[tuple[int, list[float]]],
+    literal_max: int | None = None,
+) -> DataFrame:
+    """``df`` + ``centroid_id`` (nearest centroid, rounded-cosine argmax,
+    ties to the lower id). Shuffle-free on BOTH paths: literal projection
+    below the ceiling, broadcast join + a map-side-combinable struct-max
+    aggregation keyed by the row above it — no window, no corpus
+    re-shuffle beyond the aggregation's own combine."""
+    limit = CENTROID_LITERAL_MAX if literal_max is None else literal_max
+    vec = F.col(vec_col_name)
+    if len(centroids) <= limit:
+        return (
+            df.withColumn("__best", F.array_max(_centroid_structs(vec, centroids)))
+            .withColumn("centroid_id", -F.col("__best.nid"))
+            .drop("__best")
+        )
+    cent = F.broadcast(_centroid_table(df.sparkSession, centroids))
+    cos = F.round(cosine_col(vec, F.col("cvec")), 6)
+    cols = df.columns
+    return (
+        df.crossJoin(cent)
+        .groupBy(*cols)
+        .agg(F.max(F.struct(cos.alias("cos"), (-F.col("cid")).alias("nid"))).alias("__best"))
+        .withColumn("centroid_id", -F.col("__best.nid"))
+        .drop("__best")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -324,6 +413,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    literal_max: int | None = None,
 ) -> DataFrame:
     """IVF ANN — the inverted-file scale path beside LSH.
 
@@ -339,11 +429,14 @@ def ivf_topk(
     their members — ~``n_probe/n_centroids`` of the brute-force work.
 
     Plan shape for 100 TB: the centroids are collected (broadcast-sized by
-    definition) and inlined as LITERAL arrays, so list assignment is a pure
-    projection over one corpus scan — no join, no shuffle, whole-stage
-    codegen'd; the only shuffle is the final probe join on centroid_id
-    (n_centroids keys — size lists via n_centroids ≫ executors, AQE splits
-    residual skew)."""
+    definition) and, up to ``CENTROID_LITERAL_MAX`` of them, inlined as
+    LITERAL arrays, so list assignment is a pure projection over one corpus
+    scan — no join, no shuffle, whole-stage codegen'd; the only shuffle is
+    the final probe join on centroid_id (n_centroids keys — size lists via
+    n_centroids ≫ executors, AQE splits residual skew). Above the literal
+    ceiling, assignment flips to the equality-tested broadcast-join path
+    (:func:`_assign_best` / :func:`_assign_probes`) — same rows, and the
+    √N-centroid regime stays reachable."""
     if centroids is None:
         cent_rows = (
             corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
@@ -353,20 +446,12 @@ def ivf_topk(
         )
         centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
 
-    def nearest_structs(vec):
-        return _centroid_structs(vec, centroids)
-
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    c_assigned = c.withColumn(
-        "best", F.array_max(nearest_structs(F.col("c_vec")))
-    ).select("neighbor_id", "c_vec", (-F.col("best.nid")).alias("centroid_id"))
+    c_assigned = _assign_best(c, "c_vec", centroids, literal_max=literal_max)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_probes = q.withColumn(
-        "probe",
-        F.explode(
-            F.slice(F.sort_array(nearest_structs(F.col("q_vec")), asc=False), 1, n_probe)
-        ),
-    ).select("query_id", "q_vec", (-F.col("probe.nid")).alias("centroid_id"))
+    q_probes = _assign_probes(
+        q, "q_vec", centroids, n_probe, ["query_id"], literal_max=literal_max
+    )
     cands = (
         q_probes.join(c_assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -432,6 +517,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    literal_max: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by embedding clusters — cluster the corpus with the
@@ -445,23 +531,28 @@ def semantic_dedup(
     This is the scale design the paper argues for: the quadratic pair
     scan is LOCAL to a cluster (k ~ √N clusters at corpus scale keeps
     expected cluster size √N), so no corpus-wide self-join exists —
-    assignment is the zero-shuffle literal-centroid projection shared
-    with :func:`ivf_topk`, the pair join shuffles on ``centroid_id``
-    (n_centroids keys; AQE splits residual skew), and the verdict is
-    one id-only anti-join. Cosines round to 6 decimals before the
-    threshold compare — the contract that keeps the DuckDB twin exact
-    regardless of float summation order."""
+    assignment is the gated centroid path shared with :func:`ivf_topk`
+    (zero-shuffle literal projection up to ``CENTROID_LITERAL_MAX``
+    centroids, equality-tested broadcast join above — so the √N-cluster
+    regime this docstring argues for is actually reachable), the pair
+    join shuffles on ``centroid_id`` (n_centroids keys; AQE splits
+    residual skew), and the verdict is one id-only anti-join. Cosines
+    round to 6 decimals before the threshold compare — the contract that
+    keeps the DuckDB twin exact regardless of float summation order."""
     if centroids is None:
         centroids = train_ivf_centroids(
             corpus, n_centroids=n_centroids, n_iters=n_iters,
             id_col=id_col, vec_col=vec_col,
         )
     assigned = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .withColumn("best", F.array_max(_centroid_structs(F.col("vec"), centroids)))
-        .select("id", "vec", (-F.col("best.nid")).alias("centroid_id"))
+        _assign_best(
+            corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+            "vec",
+            centroids,
+            literal_max=literal_max,
+        )
         # assignment feeds BOTH pair sides and the verdict join; without
-        # this the literal-centroid projection re-runs three times (no
+        # this the centroid projection re-runs three times (no
         # cross-branch CSE) — production reads a materialized store
         .localCheckpoint(eager=True)
     )

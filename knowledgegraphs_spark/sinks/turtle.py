@@ -17,8 +17,6 @@ Literal escaping follows Turtle: ``\\``, ``"``, newline, CR, tab.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,10 +70,24 @@ def write_turtle(
     triples: DataFrame, path: str, prefixes: dict[str, str] | None = None
 ) -> None:
     """Distributed TTL write: N part files of statements + a driver-side
-    ``_prefixes.ttl`` header (concatenate for a standalone document)."""
+    ``_prefixes.ttl`` header (concatenate for a standalone document).
+
+    The sidecar goes through the JVM Hadoop FileSystem resolved from the
+    store path — the same handle ``read_turtle``'s sidecar reader uses
+    (``turtle_source._read_sidecar_header``) — so ``hdfs://`` / ``s3a://``
+    destinations work symmetrically; a local ``open()`` here would fail
+    on any non-local scheme after the part files already landed."""
     ttl_lines(triples).write.mode("overwrite").text(path)
-    with open(os.path.join(path, "_prefixes.ttl"), "w") as f:
-        f.write(prefix_header(prefixes))
+    spark = triples.sparkSession
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    side = jvm.org.apache.hadoop.fs.Path(path, "_prefixes.ttl")
+    fs = side.getFileSystem(conf)
+    stream = fs.create(side, True)
+    try:
+        stream.write(bytearray(prefix_header(prefixes).encode("utf-8")))
+    finally:
+        stream.close()
 
 
 def turtle_string(triples: DataFrame, prefixes: dict[str, str] | None = None) -> str:

@@ -8,6 +8,7 @@ from knowledgegraphs_spark.operators.bpe import (
     apply_merge,
     learn_bpe_merges,
     segment_vocab,
+    train_bpe,
     word_vocab,
 )
 
@@ -71,3 +72,69 @@ def test_n_merges_validated(spark):
     docs = spark.createDataFrame([("x",)], "text string")
     with pytest.raises(ValueError, match="n_merges"):
         learn_bpe_merges(docs, n_merges=0)
+    with pytest.raises(ValueError, match="batch_size"):
+        learn_bpe_merges(docs, n_merges=1, batch_size=0)
+
+
+def _disjoint_corpus(spark):
+    """12 two-char words over 24 distinct letters, strictly decreasing
+    counts. Every word fully fuses in one merge, so no merge ever
+    creates a new adjacency: batched disjoint greedy is PROVABLY equal
+    to sequential greedy here (the guarantee the batching docstring
+    states)."""
+    letters = "abcdefghijklmnopqrstuvwx"
+    words = [letters[2 * i] + letters[2 * i + 1] for i in range(12)]
+    rows = [(" ".join([w] * (40 - 3 * i)),) for i, w in enumerate(words)]
+    return spark.createDataFrame(rows, "text string")
+
+
+def test_batched_equals_sequential_on_disjoint_corpus(spark):
+    docs = _disjoint_corpus(spark)
+    seq_df, _, seq_rounds = train_bpe(docs, n_merges=12, batch_size=1)
+    bat_df, _, bat_rounds = train_bpe(docs, n_merges=12, batch_size=12)
+    seq = [tuple(r) for r in seq_df.orderBy("rank").collect()]
+    bat = [tuple(r) for r in bat_df.orderBy("rank").collect()]
+    assert seq == bat and len(seq) == 12
+    assert seq_rounds == 12 and bat_rounds == 1  # 12x fewer driver rounds
+    # counts strictly decreasing by construction -> learning order pinned
+    counts = [m[3] for m in seq]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_batched_round_reduction_at_vocabulary_scale(spark):
+    """The perf contract: a vocabulary-scale merge run commits >= 10x
+    fewer count->argmax->fold rounds when batched. Corpus is a
+    deterministic pseudo-random word soup rich enough for 300 merges."""
+    import hashlib
+
+    def w(i):
+        h = hashlib.md5(f"word{i}".encode()).hexdigest()
+        return "".join(chr(ord("a") + int(c, 16) % 26) for c in h[:10])
+
+    rows = [(" ".join(w(i * 37 + j) for j in range(20)),) for i in range(200)]
+    docs = spark.createDataFrame(rows, "text string")
+    merges_df, vocab, rounds = train_bpe(docs, n_merges=400, batch_size=64)
+    merges = merges_df.orderBy("rank").collect()
+    assert len(merges) == 400
+    # >= 10x fewer rounds than the 400 sequential ones (early rounds are
+    # disjointness-limited by the 26-char initial alphabet, later rounds
+    # commit up to the full batch)
+    assert rounds <= 40
+    assert [m["rank"] for m in merges] == list(range(400))
+    # the returned vocab IS the segmented table under exactly these merges
+    reseg = segment_vocab(word_vocab(docs), [(m["lhs"], m["rhs"]) for m in merges])
+    a = {r["word"]: r["syms"] for r in vocab.collect()}
+    b = {r["word"]: r["syms"] for r in reseg.collect()}
+    assert a == b
+
+
+def test_train_bpe_vocab_matches_segment_vocab(spark):
+    docs = spark.createDataFrame(
+        [("low low low low low",), ("lowest lowest",)], "text string"
+    )
+    merges_df, vocab, _ = train_bpe(docs, n_merges=3, batch_size=1)
+    merges = [(m["lhs"], m["rhs"]) for m in merges_df.orderBy("rank").collect()]
+    reseg = segment_vocab(word_vocab(docs), merges)
+    assert {tuple(r) for r in vocab.select("word", "n_subtokens").collect()} == {
+        tuple(r) for r in reseg.select("word", "n_subtokens").collect()
+    }

@@ -47,6 +47,34 @@ def test_write_turtle(spark, triples, tmp_path):
     assert os.path.exists(os.path.join(out, "_SUCCESS"))
 
 
+def test_write_turtle_sidecar_through_hadoop_fs_scheme(spark, triples, tmp_path):
+    """The sidecar write must go through the Hadoop FileSystem resolved
+    from the destination (the reader already does): an explicit
+    ``file:`` scheme URI — which a local ``open()`` would treat as a
+    literal filename and fail on — must round-trip sink -> source,
+    prefixes intact."""
+    from knowledgegraphs_spark.sources.turtle_source import read_turtle
+
+    valid = spark.createDataFrame(
+        [
+            ("kg:Turn_1", "rdf:type", "kg:Turn", None, False),
+            ("kg:Turn_1", "kg:has_text", 'say "hi"', "xsd:string", True),
+            ("kg:Turn_2", "kg:has_n", "42", "xsd:integer", True),
+        ],
+        "subj string, pred string, obj string, obj_dtype string, is_literal boolean",
+    )
+    out = "file:" + str(tmp_path / "scheme.ttl")
+    write_turtle(valid, out)
+    local = tmp_path / "scheme.ttl" / "_prefixes.ttl"
+    assert local.exists() and local.read_text().startswith("@prefix kg:")
+    back = read_turtle(spark, out)
+    assert back.count() == 3
+    # prefix expansion proves the sidecar was found via the same FS handle
+    assert back.filter(
+        back.subj.startswith("http://example.org/kg/")
+    ).count() == 3
+
+
 def test_mappings_file_roundtrip(tmp_path):
     mf = MappingsFile(
         tables=[

@@ -380,6 +380,64 @@ def test_ivf_probe_all_equals_brute_force_and_partial_recall(spark):
     assert len(part_pairs & bf_pairs) / len(bf_pairs) >= 0.4
 
 
+def test_centroid_assignment_join_path_equals_literal_at_256(spark):
+    """The gated-twin contract for the centroid-count ceiling: above
+    CENTROID_LITERAL_MAX the inlined-literal projection flips to a
+    broadcast join + struct-max / rank. At 256 centroids (4x the gate)
+    both paths must produce IDENTICAL rows for ivf_topk and
+    semantic_dedup — same rounded cosines, same lower-id tie break —
+    so the sqrt(N)-cluster regime is reachable without a semantics
+    change."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from knowledgegraphs_spark.operators.simsearch import (
+        CENTROID_LITERAL_MAX,
+        ivf_topk,
+        semantic_dedup,
+    )
+
+    def vec(seed):
+        h = hashlib.md5(f"v{seed}".encode()).digest()
+        return [b / 255.0 - 0.5 for b in h[:8]]
+
+    emb = spark.createDataFrame(
+        [(i, vec(i)) for i in range(300)], "vec_id int, embedding array<double>"
+    )
+    centroids = [(i, vec(1000 + 7 * i)) for i in range(256)]
+    assert len(centroids) > CENTROID_LITERAL_MAX
+    q = emb.filter(F.col("vec_id") < 8)
+
+    lit = {
+        tuple(r)
+        for r in ivf_topk(
+            emb, q, k=3, n_probe=3, centroids=centroids, literal_max=10**6
+        ).collect()
+    }
+    jn = {
+        tuple(r)
+        for r in ivf_topk(emb, q, k=3, n_probe=3, centroids=centroids, literal_max=0).collect()
+    }
+    dflt = {
+        tuple(r)
+        for r in ivf_topk(emb, q, k=3, n_probe=3, centroids=centroids).collect()
+    }
+    assert lit == jn and dflt == jn and len(jn) > 0
+
+    sd_lit = {
+        tuple(r)
+        for r in semantic_dedup(
+            emb, threshold=0.97, centroids=centroids, literal_max=10**6
+        ).collect()
+    }
+    sd_jn = {
+        tuple(r)
+        for r in semantic_dedup(emb, threshold=0.97, centroids=centroids, literal_max=0).collect()
+    }
+    assert sd_lit == sd_jn and len(sd_jn) == 300
+
+
 def test_ivf_trained_quantizer_improves_objective_and_stays_exact(spark):
     """Spherical-k-means quantizer (train_ivf_centroids): (a) Lloyd rounds
     strictly improve the quantization objective over the sampled init,
