@@ -97,16 +97,20 @@ def _train(
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame, int]:
     """Shared learner: returns (merge list, final merged vocab, rounds).
 
-    With ``batch_size > 1`` each round collects the top ``batch_size``
-    pairs and applies the longest symbol-disjoint PREFIX of that ranking
-    in one chained fold — the standard distributed-BPE batching.
-    Disjoint pairs have invariant counts under each other's application,
-    so the batch coincides with sequential greedy except when a batch
-    member's application would have created a brand-new pair (one
-    containing its fused symbol) outranking a later member — rare in
-    natural corpora and impossible for fully symbol-disjoint greedy
-    chains, which is what the equality tests pin. ``batch_size=1`` is
-    the exact sequential path (the oracle twin)."""
+    With ``batch_size > 1`` each round walks the over-fetched top-pair
+    ranking in order, greedily selecting up to ``batch_size``
+    pairwise symbol-disjoint pairs (overlapping pairs are skipped and
+    re-counted next round), and applies the selection in one chained
+    fold — the standard distributed-BPE batching. Disjoint pairs have
+    invariant counts under each other's application, so every committed
+    count is EXACT given its batch-mates; the batch can deviate from
+    strict sequential greedy only in merge ORDER, when a skipped
+    overlapping pair (stale count) or a brand-new pair created by a
+    batch member's fused symbol would have outranked a later member —
+    bounded drift the literature accepts, and zero for fully
+    symbol-disjoint greedy chains, which is what the equality tests
+    pin. ``batch_size=1`` is the exact sequential path (the oracle
+    twin)."""
     if n_merges <= 0:
         raise ValueError(f"learn_bpe_merges: n_merges must be positive, got {n_merges}")
     if batch_size < 1:

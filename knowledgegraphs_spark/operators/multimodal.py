@@ -5,10 +5,12 @@ Spark-side plumbing (schema, partition-preserving mapInPandas, Arrow batch
 shape, feature schema) is real and tested. Codec coverage:
 
 - **Real, stdlib-decodable formats** go all the way through: uncompressed
-  24/32-bit BMP (``struct`` header parse + numpy pixel stats) and PCM WAV
-  (stdlib ``wave``) decode into the same FEATURE_DIM vector through the
-  production ``mapInPandas`` path — no fake, no external library.
-- Everything else (JPEG/PNG/MP4/...) still raises ``NotImplementedError``
+  24/32-bit BMP (``struct`` header parse + numpy pixel stats), 8-bit
+  non-interlaced PNG (stdlib ``zlib`` inflate + numpy scanline
+  unfiltering, all five PNG filter types) and PCM WAV (stdlib ``wave``)
+  decode into the same FEATURE_DIM vector through the production
+  ``mapInPandas`` path — no fake, no external library.
+- Everything else (JPEG/MP4/...) still raises ``NotImplementedError``
   unless the deterministic fake codec is requested — swap in a PIL/libav
   call shipped via ``--py-files`` and nothing else changes.
 """
@@ -19,6 +21,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -113,6 +116,81 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return out
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Non-interlaced 8-bit PNG (gray / RGB / gray+alpha / RGBA) → the
+    same image feature vector as :func:`_decode_bmp`. Pure stdlib
+    ``zlib`` inflate + numpy scanline unfiltering (None/Sub/Up/Average/
+    Paeth per the PNG spec §9); no external imaging library."""
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    width, height, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color} interlace={interlace} unsupported "
+            "(8-bit non-interlaced gray/RGB/gray+alpha/RGBA decode natively)"
+        )
+    n_ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = width * n_ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG scanline data length mismatch")
+    lines = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out_px = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ftype, row = int(lines[y, 0]), lines[y, 1:].copy()
+        if ftype == 0:
+            cur = row
+        elif ftype == 2:  # Up
+            cur = row + prev
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need a left scan
+            cur = row
+            for x in range(stride):
+                a = int(cur[x - n_ch]) if x >= n_ch else 0
+                b = int(prev[x])
+                if ftype == 1:
+                    cur[x] = (int(row[x]) + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (int(row[x]) + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[x - n_ch]) if x >= n_ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out_px[y] = cur
+        prev = out_px[y]
+    chans = out_px.reshape(height, width, n_ch).reshape(-1, n_ch).astype(np.float64)
+    out = np.zeros(FEATURE_DIM, dtype=np.float32)
+    out[0] = 1.0
+    out[1], out[2], out[3] = float(width), float(height), float(n_ch)
+    means, stds = chans.mean(axis=0), chans.std(axis=0)
+    out[4 : 4 + min(n_ch, 4)] = means[:4]
+    out[8 : 8 + min(n_ch, 4)] = stds[:4]
+    out[12], out[13] = float(chans.min()), float(chans.max())
+    return out
+
+
 def _decode_wav(payload: bytes) -> np.ndarray:
     """PCM WAV (stdlib ``wave``) → feature vector: [modality=2, channels,
     framerate, n_frames, duration_s, mean, std, rms, min, max, zero-
@@ -145,12 +223,14 @@ def decode_payload(payload: bytes, kind: str, use_fake_codec: bool = False) -> n
     # real, stdlib-decodable containers take the production path end-to-end
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return _decode_png(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return _decode_wav(payload)
     raise NotImplementedError(
-        f"no stdlib decoder for this {kind} payload (BMP and PCM WAV decode "
-        "natively); ship a PIL/libav decoder via --py-files, or pass "
-        "use_fake_codec=True for the deterministic test codec"
+        f"no stdlib decoder for this {kind} payload (BMP, 8-bit PNG and PCM "
+        "WAV decode natively); ship a PIL/libav decoder via --py-files, or "
+        "pass use_fake_codec=True for the deterministic test codec"
     )
 
 

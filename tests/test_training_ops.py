@@ -321,6 +321,131 @@ def test_dedup_clusters_transitive_and_singletons(spark):
     assert clusters[40] == 40  # singleton untouched
 
 
+def _make_png(pixels, color_type: int, filters=None) -> bytes:
+    """Hand-rolled PNG encoder (stdlib zlib + crc32): 8-bit, one IDAT,
+    per-row filter types chosen by ``filters`` — the encode-side inverse
+    of the spec's unfiltering, so the decoder's five filter paths can be
+    exercised deliberately."""
+    import zlib as _zlib
+
+    import numpy as _np
+
+    px = _np.asarray(pixels, dtype=_np.uint8)
+    h, w, n_ch = px.shape
+    filters = filters or [0] * h
+    stride = w * n_ch
+    flat = px.reshape(h, stride).astype(_np.int16)
+    raw = bytearray()
+    prev = _np.zeros(stride, dtype=_np.int16)
+    for y in range(h):
+        row, ftype = flat[y], filters[y]
+        enc = _np.zeros(stride, dtype=_np.int16)
+        for x in range(stride):
+            a = int(row[x - n_ch]) if x >= n_ch else 0
+            b = int(prev[x])
+            c = int(prev[x - n_ch]) if x >= n_ch else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            enc[x] = (int(row[x]) - pred) % 256
+        raw.append(ftype)
+        raw.extend(enc.astype(_np.uint8).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import struct as s
+
+        return (
+            s.pack(">I", len(data))
+            + ctype
+            + data
+            + s.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    import struct as s
+
+    ihdr = s.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", _zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_all_filter_types_and_color_types():
+    """Real PNG bytes through the real decoder: every PNG filter type
+    (None/Sub/Up/Average/Paeth) must unfilter back to the exact pixels,
+    for RGB, grayscale and RGBA color types; unsupported depths raise."""
+    import numpy as _np
+    import pytest as _pytest
+
+    from knowledgegraphs_spark.operators.multimodal import decode_payload
+
+    # deterministic pseudo-random RGB image, one row per filter type
+    rng = [((y * 31 + x * 7 + ch * 13) * 97) % 256 for y in range(5) for x in range(4) for ch in range(3)]
+    px = _np.array(rng, dtype=_np.uint8).reshape(5, 4, 3)
+    png = _make_png(px, color_type=2, filters=[0, 1, 2, 3, 4])
+    f = decode_payload(png, "image")
+    chans = px.reshape(-1, 3).astype(float)
+    assert (f[0], f[1], f[2], f[3]) == (1.0, 4.0, 5.0, 3.0)
+    for i in range(3):
+        assert abs(f[4 + i] - chans[:, i].mean()) < 1e-4
+        assert abs(f[8 + i] - chans[:, i].std()) < 1e-4
+    assert (f[12], f[13]) == (float(chans.min()), float(chans.max()))
+
+    # grayscale with Paeth everywhere, RGBA with Average everywhere
+    g = _np.arange(24, dtype=_np.uint8).reshape(4, 6, 1) * 9 % 256
+    fg = decode_payload(_make_png(g, color_type=0, filters=[4] * 4), "image")
+    assert (fg[1], fg[2], fg[3]) == (6.0, 4.0, 1.0)
+    assert abs(fg[4] - g.astype(float).mean()) < 1e-4
+    rgba = _np.arange(32, dtype=_np.uint8).reshape(2, 4, 4) * 7 % 256
+    fa = decode_payload(_make_png(rgba, color_type=6, filters=[3, 3]), "image")
+    assert (fa[1], fa[2], fa[3]) == (4.0, 2.0, 4.0)
+
+    # 16-bit depth is out of documented scope -> NotImplementedError
+    import struct as s
+    import zlib as _zlib
+
+    def chunk(ctype, data):
+        return s.pack(">I", len(data)) + ctype + data + s.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", s.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(b"\x00" * 26))
+        + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(NotImplementedError):
+        decode_payload(bad, "image")
+
+
+def test_png_through_production_mapinpandas_path(spark):
+    """PNG joins BMP/WAV on the production (non-fake) extract_features
+    path."""
+    import numpy as _np
+
+    from knowledgegraphs_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    px = _np.full((3, 3, 3), 77, dtype=_np.uint8)
+    media = spark.createDataFrame(
+        [(9, "image", bytearray(_make_png(px, color_type=2, filters=[0, 2, 1])))],
+        "media_id long, kind string, payload binary",
+    )
+    row = extract_features(media).collect()[0]
+    assert len(row.features) == FEATURE_DIM
+    assert row.features[0] == 1.0 and row.features[4] == 77.0 and row.features[8] == 0.0
+
+
 def test_simhash_multirotation_guaranteed_recall(spark):
     """With 4 disjoint 16-bit windows covering all 64 bits, a pair within
     Hamming distance 3 differs in at most 3 windows → at least one window
