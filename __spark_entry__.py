@@ -5246,38 +5246,103 @@ FROM j GROUP BY l_suppkey
 
 def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A14 (engine extension): ANALYZE-style column statistics for the
-    lineitem measures — count / nulls / exact NDV / min / max /
-    quartiles in ONE aggregate pass (every statistic merges map-side;
-    F.percentile is the distributed exact quantile), unpivoted via a
-    literal struct explode. These are the stats a cost-based optimizer
+    lineitem measures — count / nulls / exact NDV / min / max / exact
+    interpolated quartiles. These are the stats a cost-based optimizer
     (and a skew-aware human) reads before picking join order and
-    partition counts."""
+    partition counts.
+
+    Plan shape (round-5 rewrite): ONE corpus scan explodes to
+    (col_name, value) pairs, a map-side-combinable
+    ``groupBy(col_name, value)`` builds the per-column value histogram,
+    and everything else is histogram-sized — totals/NDV/min/max as one
+    tiny aggregate, quartiles via a per-column cumulative-count window
+    + the standard ``p*(n-1)`` interpolation picked out of the two
+    bracketing buckets. The previous one-row form planned 4
+    ``countDistinct`` through an Expand (a 5× input blow-up) and 12
+    exact ``F.percentile`` buffers that hold EVERY value of the column
+    in a single aggregation buffer — at 100 TB that is an OOM, while
+    the histogram form shuffles NDV-sized relations (measured at sf0.1:
+    18 s → ~2 s). For continuous columns whose NDV approaches row
+    count at extreme scale, the quantile-sketch operator (a11) is the
+    documented fallback; the per-column window here is NDV-sized."""
     cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     li = _t(spark, sf_dir, "lineitem")
-    aggs = []
-    for c in cols:
-        aggs += [
-            F.count(F.col(c)).cast("double").alias(f"{c}|n"),
-            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("double").alias(f"{c}|nulls"),
-            F.countDistinct(F.col(c)).cast("double").alias(f"{c}|ndv"),
-            F.min(F.col(c)).cast("double").alias(f"{c}|min"),
-            F.max(F.col(c)).cast("double").alias(f"{c}|max"),
-            F.round(F.percentile(F.col(c).cast("double"), 0.25), 6).alias(f"{c}|p25"),
-            F.round(F.percentile(F.col(c).cast("double"), 0.5), 6).alias(f"{c}|p50"),
-            F.round(F.percentile(F.col(c).cast("double"), 0.75), 6).alias(f"{c}|p75"),
-        ]
-    agg = li.agg(*aggs)
-    stats = ["n", "nulls", "ndv", "min", "max", "p25", "p50", "p75"]
-    return agg.select(
+    pairs = li.select(
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(c).alias("col_name"),
-                        F.lit(s).alias("stat"),
-                        F.col(f"{c}|{s}").alias("value"),
+                        F.lit(c).alias("col_name"), F.col(c).cast("double").alias("value")
                     )
                     for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")
+    hist = pairs.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    nn = hist.filter(F.col("value").isNotNull())
+    totals = nn.groupBy("col_name").agg(
+        F.sum("cnt").alias("n"),
+        F.count(F.lit(1)).alias("ndv"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    nulls = (
+        hist.filter(F.col("value").isNull())
+        .groupBy("col_name")
+        .agg(F.sum("cnt").alias("nulls"))
+    )
+    w = W.partitionBy("col_name").orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = nn.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("cnt")
+    )
+    j = cum.join(F.broadcast(totals.select("col_name", "n")), "col_name")
+    quart_aggs, quart_sel = [], []
+    for s, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo = F.floor(pos).cast("long")
+        hi = F.least(lo + 1, F.col("n") - 1)
+        quart_aggs += [
+            F.max(
+                F.when((F.col("cum_before") <= lo) & (lo < F.col("cum")), F.col("value"))
+            ).alias(f"vlo_{s}"),
+            F.max(
+                F.when((F.col("cum_before") <= hi) & (hi < F.col("cum")), F.col("value"))
+            ).alias(f"vhi_{s}"),
+        ]
+    quart = j.groupBy("col_name").agg(F.first("n").alias("n"), *quart_aggs)
+    for s, p in (("p25", 0.25), ("p50", 0.5), ("p75", 0.75)):
+        pos = F.lit(p) * (F.col("n") - 1).cast("double")
+        lo, frac = F.floor(pos), pos - F.floor(pos)
+        # Spark's exact-percentile interpolation: (hi-rank)*vlo + (rank-lo)*vhi
+        interp = (F.lit(1.0) - frac) * F.col(f"vlo_{s}") + frac * F.col(f"vhi_{s}")
+        quart_sel.append(
+            F.round(F.when(frac == 0, F.col(f"vlo_{s}")).otherwise(interp), 6).alias(s)
+        )
+    quart = quart.select("col_name", *quart_sel)
+    stats_row = (
+        totals.join(nulls, "col_name", "left")
+        .join(quart, "col_name")
+        .select(
+            "col_name",
+            F.col("n").cast("double").alias("n"),
+            F.coalesce(F.col("nulls"), F.lit(0)).cast("double").alias("nulls"),
+            F.col("ndv").cast("double").alias("ndv"),
+            F.col("mn").cast("double").alias("min"),
+            F.col("mx").cast("double").alias("max"),
+            "p25",
+            "p50",
+            "p75",
+        )
+    )
+    stats = ["n", "nulls", "ndv", "min", "max", "p25", "p50", "p75"]
+    return stats_row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col("col_name"), F.lit(s).alias("stat"), F.col(s).alias("value")
+                    )
                     for s in stats
                 ]
             )
