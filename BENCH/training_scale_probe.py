@@ -153,15 +153,21 @@ def main() -> None:
     )
 
     def run_d8():
-        cents = train_ivf_centroids(emb, n_centroids=256, n_iters=1)
+        # SemDeDup's own k ~ sqrt(N) regime: 1 M vectors, 1024 trained
+        # centroids — far above CENTROID_LITERAL_MAX, so this exercises
+        # the broadcast-join assignment path (keyed struct-max aggregate;
+        # the all-columns grouping it replaced was kernel-OOM here) and
+        # keeps the in-cluster quadratic scan at ~(N/k)^2 * k pairs.
+        sub = emb.filter(F.col("vec_id") < 1_000_000)
+        cents = train_ivf_centroids(sub, n_centroids=1024, n_iters=1)
         assert len(cents) > CENTROID_LITERAL_MAX  # broadcast-join path
-        out = semantic_dedup(emb, threshold=0.9, centroids=cents)
+        out = semantic_dedup(sub, threshold=0.9, centroids=cents)
         agg = out.agg(
             F.count(F.lit(1)).alias("rows"), F.sum(F.col("kept").cast("long")).alias("kept")
         ).collect()[0]
-        return {"rows": agg["rows"], "kept": agg["kept"], "n_centroids": 256}
+        return {"rows": agg["rows"], "kept": agg["kept"], "n_centroids": 1024}
 
-    timed(spark, "d8_semantic_dedup_256c", run_d8)
+    timed(spark, "d8_semantic_dedup_sqrtN", run_d8)
 
     timed(
         spark,

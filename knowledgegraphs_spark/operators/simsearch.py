@@ -377,13 +377,20 @@ def _assign_best(
     df: DataFrame,
     vec_col_name: str,
     centroids: list[tuple[int, list[float]]],
+    key_cols: list[str],
     literal_max: int | None = None,
 ) -> DataFrame:
     """``df`` + ``centroid_id`` (nearest centroid, rounded-cosine argmax,
-    ties to the lower id). Shuffle-free on BOTH paths: literal projection
-    below the ceiling, broadcast join + a map-side-combinable struct-max
-    aggregation keyed by the row above it — no window, no corpus
-    re-shuffle beyond the aggregation's own combine."""
+    ties to the lower id). Literal projection below the ceiling
+    (zero-shuffle); broadcast join + struct-max aggregation above.
+
+    The aggregation groups by ``key_cols`` ONLY (the row identity) and
+    carries the remaining columns with ``first()`` — they are
+    functionally dependent on the key, and grouping by an array column
+    (the embedding) would force the aggregate off the UnsafeRow
+    hash-agg fast path into a sort over the full k-fold fan-out
+    (measured: kernel-OOM at 5 M vectors x 256 centroids before this
+    keyed form; hash-agg with map-side combine after)."""
     limit = CENTROID_LITERAL_MAX if literal_max is None else literal_max
     vec = F.col(vec_col_name)
     if len(centroids) <= limit:
@@ -394,13 +401,15 @@ def _assign_best(
         )
     cent = F.broadcast(_centroid_table(df.sparkSession, centroids))
     cos = F.round(cosine_col(vec, F.col("cvec")), 6)
-    cols = df.columns
+    others = [c for c in df.columns if c not in key_cols]
     return (
         df.crossJoin(cent)
-        .groupBy(*cols)
-        .agg(F.max(F.struct(cos.alias("cos"), (-F.col("cid")).alias("nid"))).alias("__best"))
-        .withColumn("centroid_id", -F.col("__best.nid"))
-        .drop("__best")
+        .groupBy(*key_cols)
+        .agg(
+            F.max(F.struct(cos.alias("cos"), (-F.col("cid")).alias("nid"))).alias("__best"),
+            *[F.first(c).alias(c) for c in others],
+        )
+        .select(*df.columns, (-F.col("__best.nid")).alias("centroid_id"))
     )
 
 
@@ -447,7 +456,7 @@ def ivf_topk(
         centroids = [(int(r["cid"]), [float(x) for x in r["cvec"]]) for r in cent_rows]
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    c_assigned = _assign_best(c, "c_vec", centroids, literal_max=literal_max)
+    c_assigned = _assign_best(c, "c_vec", centroids, ["neighbor_id"], literal_max=literal_max)
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_probes = _assign_probes(
         q, "q_vec", centroids, n_probe, ["query_id"], literal_max=literal_max
@@ -549,6 +558,7 @@ def semantic_dedup(
             corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
             "vec",
             centroids,
+            ["id"],
             literal_max=literal_max,
         )
         # assignment feeds BOTH pair sides and the verdict join; without
