@@ -9,11 +9,12 @@ whose scale behavior the round-4 audit called out:
 
   d2   MinHash+LSH candidate pairs (xxhash64 family, banding inside the
        aggregate, bucket groupBy — the claim: no quadratic blow-up)
-  d8   SemDeDup with 256 Lloyd-free centroids — deliberately ABOVE
-       CENTROID_LITERAL_MAX, so this exercises the round-5 broadcast-join
-       assignment path at corpus scale
   t3   sequence packing (distributed global prefix sum, no global window)
   t16  BPE merge learning, batch_size=32 (the round-5 batched rounds)
+  d8   SemDeDup in its own k ~ sqrt(N) regime (1 M vectors, 1024 trained
+       centroids) — deliberately ABOVE CENTROID_LITERAL_MAX, so this
+       exercises the round-5 broadcast-join assignment path at corpus
+       scale; runs last as the most memory-sensitive phase
 
 Corpus shape: every 10th document is a near-duplicate (same 25-token
 body, one extra tail token) of the document 9 ids below it, so LSH has
@@ -121,7 +122,12 @@ def main() -> None:
         shuffle_partitions=CPUS * 4,
         extra_conf={"spark.ui.enabled": "true"},
     )
-    tmp = "/dev/shm/kg_tsp" if os.path.isdir("/dev/shm") else "/tmp/kg_tsp"
+    # default the corpus to DISK, not /dev/shm: this sandbox's memory is
+    # host-shared (two same-commit runs were global-oom-killed at 53 GB
+    # and 27 GB JVM rss), and tmpfs data + tmpfs shuffle all bill against
+    # the same fluctuating allowance. Pair with SPARK_GRAFT_LOCAL_DIR for
+    # disk shuffle scratch.
+    tmp = os.environ.get("SPARK_GRAFT_TSP_DIR", "/tmp/kg_tsp")
     docs_path = os.path.join(tmp, "docs")
     emb_path = os.path.join(tmp, "emb")
 
@@ -152,22 +158,6 @@ def main() -> None:
         lambda: {"candidate_pairs": minhash_lsh_candidates(docs, k=16, bands=4, n=3, family="xxhash64").count()},
     )
 
-    def run_d8():
-        # SemDeDup's own k ~ sqrt(N) regime: 1 M vectors, 1024 trained
-        # centroids — far above CENTROID_LITERAL_MAX, so this exercises
-        # the broadcast-join assignment path (keyed struct-max aggregate;
-        # the all-columns grouping it replaced was kernel-OOM here) and
-        # keeps the in-cluster quadratic scan at ~(N/k)^2 * k pairs.
-        sub = emb.filter(F.col("vec_id") < 1_000_000)
-        cents = train_ivf_centroids(sub, n_centroids=1024, n_iters=1)
-        assert len(cents) > CENTROID_LITERAL_MAX  # broadcast-join path
-        out = semantic_dedup(sub, threshold=0.9, centroids=cents)
-        agg = out.agg(
-            F.count(F.lit(1)).alias("rows"), F.sum(F.col("kept").cast("long")).alias("kept")
-        ).collect()[0]
-        return {"rows": agg["rows"], "kept": agg["kept"], "n_centroids": 1024}
-
-    timed(spark, "d8_semantic_dedup_sqrtN", run_d8)
 
     timed(
         spark,
@@ -184,6 +174,23 @@ def main() -> None:
         return {"merges": merges.count(), "rounds": rounds}
 
     timed(spark, "t16_bpe_batched", run_t16)
+
+    def run_d8():
+        # SemDeDup's own k ~ sqrt(N) regime: 1 M vectors, 1024 trained
+        # centroids — far above CENTROID_LITERAL_MAX, so this exercises
+        # the broadcast-join assignment path (keyed struct-max aggregate;
+        # the all-columns grouping it replaced was kernel-OOM here) and
+        # keeps the in-cluster quadratic scan at ~(N/k)^2 * k pairs.
+        sub = emb.filter(F.col("vec_id") < 1_000_000)
+        cents = train_ivf_centroids(sub, n_centroids=1024, n_iters=1)
+        assert len(cents) > CENTROID_LITERAL_MAX  # broadcast-join path
+        out = semantic_dedup(sub, threshold=0.9, centroids=cents)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("rows"), F.sum(F.col("kept").cast("long")).alias("kept")
+        ).collect()[0]
+        return {"rows": agg["rows"], "kept": agg["kept"], "n_centroids": 1024}
+
+    timed(spark, "d8_semantic_dedup_sqrtN", run_d8)
 
     print(json.dumps({"probe": "training_scale", "n_docs": N_DOCS, "results": RESULTS}))
     spark.stop()

@@ -384,13 +384,19 @@ def _assign_best(
     ties to the lower id). Literal projection below the ceiling
     (zero-shuffle); broadcast join + struct-max aggregation above.
 
-    The aggregation groups by ``key_cols`` ONLY (the row identity) and
-    carries the remaining columns with ``first()`` — they are
-    functionally dependent on the key, and grouping by an array column
-    (the embedding) would force the aggregate off the UnsafeRow
-    hash-agg fast path into a sort over the full k-fold fan-out
-    (measured: kernel-OOM at 5 M vectors x 256 centroids before this
-    keyed form; hash-agg with map-side combine after)."""
+    The argmax crosses the aggregation as ONE primitive long:
+    ``(round(cos*1e6) + 1e6) * 2^32 + (2^31 - cid)`` — max of that long
+    is exactly (rounded cosine desc, cid asc), the literal path's order.
+    A primitive ``max(long)`` buffer keeps the plan a codegen'd
+    HashAggregate with map-side combine: the k-fold fan-out collapses to
+    one row per key inside each task and never crosses a shuffle; the
+    remaining columns rejoin by key afterwards. Three rejected shapes,
+    all measured fatal at 1-5 M vectors in the 50 M-doc probe: grouping
+    by all columns (array grouping key → sort over the full fan-out →
+    kernel OOM), carrying the vector through ``first()`` (array-typed
+    buffer → ObjectHashAggregate), and ``max(struct)`` itself (struct
+    buffer → ObjectHashAggregate, whose sort-based fallback — default
+    threshold 128 keys — spilled the full fan-out to disk)."""
     limit = CENTROID_LITERAL_MAX if literal_max is None else literal_max
     vec = F.col(vec_col_name)
     if len(centroids) <= limit:
@@ -400,17 +406,23 @@ def _assign_best(
             .drop("__best")
         )
     cent = F.broadcast(_centroid_table(df.sparkSession, centroids))
-    cos = F.round(cosine_col(vec, F.col("cvec")), 6)
-    others = [c for c in df.columns if c not in key_cols]
-    return (
-        df.crossJoin(cent)
-        .groupBy(*key_cols)
-        .agg(
-            F.max(F.struct(cos.alias("cos"), (-F.col("cid")).alias("nid"))).alias("__best"),
-            *[F.first(c).alias(c) for c in others],
-        )
-        .select(*df.columns, (-F.col("__best.nid")).alias("centroid_id"))
+    mcos = F.round(cosine_col(F.col("__v"), F.col("cvec")) * 1_000_000, 0).cast("long")
+    enc = (mcos + 1_000_000) * F.lit(1 << 32).cast("long") + (
+        F.lit(1 << 31).cast("long") - F.col("cid")
     )
+    best = (
+        df.select(*key_cols, vec.alias("__v"))
+        .crossJoin(cent)
+        .groupBy(*key_cols)
+        .agg(F.max(enc).alias("__enc"))
+        .select(
+            *key_cols,
+            (F.lit(1 << 31).cast("long") - F.pmod(F.col("__enc"), F.lit(1 << 32).cast("long")))
+            .cast("int")
+            .alias("centroid_id"),
+        )
+    )
+    return df.join(best, key_cols)
 
 
 def ivf_topk(
