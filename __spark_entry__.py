@@ -1864,6 +1864,26 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(emb, threshold=0.45, n_centroids=8, n_iters=3)
 
 
+def q_semantic_dedup_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8b (engine extension): the SAME SemDeDup contract as d8 but with
+    80 trained centroids — deliberately above ``CENTROID_LITERAL_MAX``
+    (64), so list assignment routes through the round-5 broadcast-join +
+    primitive-long-argmax path instead of the inlined-literal
+    projection. Registering it as its own oracle query puts the gated
+    scale path itself under the driver's independent value check (the
+    engine's gated-twin discipline, driver-visible): same rounded
+    cosines, same lower-id tie-break, verified row-for-row against the
+    DuckDB twin with 80 VALUES-inlined centroids."""
+    from knowledgegraphs_spark.operators.simsearch import (
+        CENTROID_LITERAL_MAX,
+        semantic_dedup,
+    )
+
+    assert 80 > CENTROID_LITERAL_MAX
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.45, n_centroids=80, n_iters=3)
+
+
 def _d8_sql(threshold: float = 0.45, n_centroids: int = 8) -> str:
     """d8 oracle: trained centroids from the sequential numpy twin at
     oracle-BUILD time (the s3b pattern), assignment re-derived via the
@@ -6340,6 +6360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t10_length_quantiles": q_length_quantiles,
         "d6_dedup_clusters": q_dedup_clusters,
         "s3b_simsearch_ivf_trained": q_simsearch_ivf_trained,
+        "d8b_semantic_dedup_gated": q_semantic_dedup_gated,
         "f1_null_normalize": q_null_normalize,
         "a3_agg_pricing_summary": q_agg_pricing_summary,
         "w1_topk_orders_per_customer": q_topk_orders_per_customer,
@@ -6534,6 +6555,7 @@ def oracle_sql() -> dict[str, str]:
         "a11_hist_quantile_sketch": _A11_SQL,
         "d7_duplicated_spans": _D7_SQL,
         "d8_semantic_dedup": _d8_sql(),
+        "d8b_semantic_dedup_gated": _d8_sql(0.45, 80),
         "t10_length_quantiles": _T10_SQL,
         "d5_dedup_embedding": _D5_SQL,
         "d1_dedup_exact": _DEDUP_EXACT_SQL,

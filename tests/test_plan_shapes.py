@@ -41,6 +41,13 @@ NESTED_LOOP_OK = {
     "x19_bm25_search",
     "a12_skew_report",
     "g36_entity_hits",
+    # the gated centroid-assignment path above CENTROID_LITERAL_MAX: a
+    # broadcast of the CENTROID TABLE fanned against each row — bounded
+    # at k rows per input row by construction, collapsed back to one row
+    # per key by a codegen'd primitive-long HashAggregate before any
+    # shuffle (simsearch._assign_best; the d8b query exists precisely to
+    # put this path under the driver's value gate)
+    "d8b_semantic_dedup_gated",
 }
 
 
