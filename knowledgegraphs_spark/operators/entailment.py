@@ -109,6 +109,7 @@ def rdfs_materialize(
     triples: DataFrame,
     include_base: bool = True,
     broadcast_schema: bool = True,
+    anti_join_base: bool = True,
 ) -> DataFrame:
     """The RDFS closure of ``triples`` as ``(subj, pred, obj)``.
 
@@ -181,7 +182,12 @@ def rdfs_materialize(
     )
     if include_base:
         return base.unionByName(derived).dropDuplicates(spo)
-    return derived.dropDuplicates(spo).join(base, on=spo, how="left_anti")
+    out = derived.dropDuplicates(spo)
+    # anti_join_base=False skips the full-input anti-join for callers that
+    # enforce set semantics themselves (materialize_store's bucket-pruned
+    # append anti-joins per touched bucket — the store-wide shuffle here
+    # would be paid twice)
+    return out.join(base, on=spo, how="left_anti") if anti_join_base else out
 
 
 _OWL = "http://www.w3.org/2002/07/owl#"
@@ -236,6 +242,7 @@ def owl_rl_materialize(
     include_base: bool = True,
     broadcast_schema: bool = True,
     max_trans_iters: int = 50,
+    anti_join_base: bool = True,
 ) -> DataFrame:
     """OWL 2 RL property-rule closure of ``triples`` — the rho-df rules of
     :func:`rdfs_materialize` plus the property-axiom fragment GraphDB's
@@ -471,7 +478,12 @@ def owl_rl_materialize(
         derived = derived.unionByName(part)
     if include_base:
         return base.unionByName(derived).dropDuplicates(spo)
-    return derived.dropDuplicates(spo).join(base, on=spo, how="left_anti")
+    out = derived.dropDuplicates(spo)
+    # anti_join_base=False skips the full-input anti-join for callers that
+    # enforce set semantics themselves (materialize_store's bucket-pruned
+    # append anti-joins per touched bucket — the store-wide shuffle here
+    # would be paid twice)
+    return out.join(base, on=spo, how="left_anti") if anti_join_base else out
 
 
 _SAMEAS = ("owl:sameAs", "http://www.w3.org/2002/07/owl#sameAs")
@@ -762,7 +774,7 @@ def materialize_store(spark, store_path: str, ruleset: str = "rdfs") -> dict:
         raise ValueError(f"materialize_store: unknown ruleset {ruleset!r} (rdfs | owl-rl)")
     store, n_buckets = _open_store(spark, store_path)
     derived = closures[ruleset](
-        store.select("subj", "pred", "obj"), include_base=False
+        store.select("subj", "pred", "obj"), include_base=False, anti_join_base=False
     ).withColumn("subj_bucket", subj_bucket_of(F.col("subj"), n_buckets))
     stats = {"deleted": 0, "inserted": 0, "buckets_rewritten": [], "buckets_appended": []}
     return _append_new(spark, store_path, store, derived, stats)
